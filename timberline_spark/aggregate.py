@@ -1,0 +1,230 @@
+"""Dedup + report aggregation (the reference's analysis layer, batch-first).
+
+Reference semantics re-expressed as single-shuffle Spark plans:
+
+- Duplicate counting (``/root/reference/log-ingestor/internal/storage/
+  milvus.go:273-328,354-409``): the reference counts near-duplicates online
+  via ANN search; the batch equivalence (SURVEY.md J1/J2) is a groupBy on the
+  normalized message key producing ``duplicate_count`` with the earliest
+  occurrence as the kept example.
+- Cluster grouping (``ai-analyzer/analyzer/storage/milvus_client.py:166-264``
+  DBSCAN eps=0.2 min_samples=1): with min_samples=1 this is connected
+  components of the similarity graph; the deterministic Spark equivalence is
+  a groupBy on the message template fingerprint (digits collapsed).
+- Per-cluster aggregates (``ai-analyzer/analyzer/models/log.py:143-155,
+  201-204``): unique count, total_log_count (Σ duplicate_count),
+  error_count, distinct sources, time range.
+- Representative selection (``milvus_client.py:331-349``): most-recent
+  ERROR/CRITICAL, else most-recent WARNING, else most-recent — with explicit
+  (conv_id, turn_idx) tie-breaks (the reference relies on list order).
+- Severity scoring (``ai-analyzer/analyzer/llm/client.py:186-278``): the
+  reference asks an LLM; we apply the documented rubric deterministically —
+  base score from the representative level, +1 when the cluster is frequent,
+  clamped to 10; bucket mapping from ``models/log.py:16-58``; MEDIUM stays
+  the unknown/failure default (``client.py:275-276``).
+- Summary stats (``analysis/engine.py:108-129``, ``models/log.py:277-319``).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from .dicts import LEVEL_META, SEVERITY_BUCKETS
+
+FREQ_BONUS_THRESHOLD = 10  # clusters with >= 10 total occurrences score +1
+TOP_ISSUES_N = 10  # models/log.py:296-299
+
+
+def _level_priority(col):
+    expr = F.lit(0)
+    for level, priority, _ in LEVEL_META:
+        expr = F.when(col == level, priority).otherwise(expr)
+    return expr
+
+
+def dedup_turns(kept: DataFrame) -> DataFrame:
+    """Exact-key dedup: one row per normalized message, with duplicate_count.
+
+    Single shuffle on dedup_key; all stats are window aggregates over the
+    same partitioning, so no second exchange. Representative = earliest
+    (effective_ts_ms, conv_id, turn_idx) — deterministic at any parallelism.
+    """
+    df = kept.withColumn("dedup_key", F.lower(F.col("message")))
+    w = Window.partitionBy("dedup_key")
+    wo = w.orderBy("effective_ts_ms", "conv_id", "turn_idx")
+    return (
+        df.withColumn("rn", F.row_number().over(wo))
+        .withColumn("duplicate_count", F.count(F.lit(1)).over(w))
+        .withColumn("first_ts_ms", F.min("effective_ts_ms").over(w))
+        .withColumn("last_ts_ms", F.max("effective_ts_ms").over(w))
+        .filter(F.col("rn") == 1)
+        .select(
+            "dedup_key",
+            "conv_id",
+            "turn_idx",
+            "level",
+            "severity",
+            "severity_score",
+            "is_error",
+            "is_warning",
+            "service",
+            "message",
+            "duplicate_count",
+            "first_ts_ms",
+            "last_ts_ms",
+        )
+    )
+
+
+def cluster_fingerprint(message_col, level_col):
+    """Template fingerprint: level + message with digit runs collapsed."""
+    return F.concat_ws(
+        "|", level_col, F.regexp_replace(F.lower(message_col), "[0-9]+", "#")
+    )
+
+
+def report_buckets(deduped: DataFrame) -> DataFrame:
+    """Cluster-level aggregates + representative, one shuffle (window-only)."""
+    df = deduped.withColumn(
+        "fingerprint", cluster_fingerprint(F.col("message"), F.col("level"))
+    ).withColumn("level_priority", _level_priority(F.col("level")))
+    w = Window.partitionBy("fingerprint")
+    wo = w.orderBy(
+        F.col("level_priority").desc(),
+        F.col("last_ts_ms").desc(),
+        F.col("conv_id"),
+        F.col("turn_idx"),
+    )
+    return (
+        df.withColumn("rn", F.row_number().over(wo))
+        .withColumn("n_unique", F.count(F.lit(1)).over(w))
+        .withColumn("total_log_count", F.sum("duplicate_count").over(w))
+        .withColumn(
+            "error_count",
+            F.sum(
+                F.when(F.col("is_error"), F.col("duplicate_count")).otherwise(F.lit(0))
+            ).over(w),
+        )
+        .withColumn("n_sources", F.size(F.collect_set("service").over(w)))
+        .withColumn("cluster_first_ts_ms", F.min("first_ts_ms").over(w))
+        .withColumn("cluster_last_ts_ms", F.max("last_ts_ms").over(w))
+        .filter(F.col("rn") == 1)
+        .select(
+            "fingerprint",
+            F.col("n_unique").cast("long").alias("n_unique"),
+            "total_log_count",
+            "error_count",
+            F.col("n_sources").cast("long").alias("n_sources"),
+            F.col("cluster_first_ts_ms").alias("first_ts_ms"),
+            F.col("cluster_last_ts_ms").alias("last_ts_ms"),
+            F.col("level").alias("rep_level"),
+            _truncate_message(F.col("message")).alias("representative_message"),
+        )
+    )
+
+
+def _truncate_message(c, limit: int = 200):
+    """Message truncation for reports (generator.py:93-99)."""
+    return F.when(
+        F.length(c) > limit, F.concat(F.substring(c, 1, limit - 3), F.lit("..."))
+    ).otherwise(c)
+
+
+def score_clusters(buckets: DataFrame) -> DataFrame:
+    """Rule-based severity rubric replacing the reference's LLM scorer."""
+    base = F.lit(5)  # unknown level -> MEDIUM default (client.py:275-276)
+    for level, _, score in LEVEL_META:
+        base = F.when(F.col("rep_level") == level, score).otherwise(base)
+    score = F.least(
+        F.lit(10),
+        base
+        + F.when(F.col("total_log_count") >= FREQ_BONUS_THRESHOLD, 1).otherwise(0),
+    )
+    df = buckets.withColumn("cluster_score", score)
+    bucket = F.lit("medium")
+    numeric = F.lit(5)
+    for lo, hi, name, num in SEVERITY_BUCKETS:
+        cond = (F.col("cluster_score") >= lo) & (F.col("cluster_score") <= hi)
+        bucket = F.when(cond, name).otherwise(bucket)
+        numeric = F.when(cond, num).otherwise(numeric)
+    return (
+        df.withColumn("cluster_severity", bucket)
+        .withColumn("severity_numeric", numeric)
+        .withColumn(
+            "actionable", F.col("cluster_severity").isin("medium", "high", "critical")
+        )
+    )
+
+
+def top_issues(scored: DataFrame, n: int = TOP_ISSUES_N) -> DataFrame:
+    """Top-N actionable clusters (W3) with deterministic tie-breaks."""
+    w = Window.orderBy(
+        F.col("cluster_score").desc(),
+        F.col("total_log_count").desc(),
+        F.col("fingerprint"),
+    )
+    return (
+        scored.filter(F.col("actionable"))
+        .withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= n)
+        .select(
+            "rank",
+            "fingerprint",
+            "cluster_severity",
+            "cluster_score",
+            "total_log_count",
+            "error_count",
+            "representative_message",
+        )
+    )
+
+
+def run_summary(deduped: DataFrame, scored: DataFrame) -> DataFrame:
+    """One-row run summary (engine.py:108-129, models/log.py:277-319)."""
+    # coalesce(0): an empty window yields a zero-row report, not nulls
+    # (the reference returns an explicit empty result — engine.py:88-102)
+    totals = deduped.agg(
+        F.coalesce(F.sum("duplicate_count"), F.lit(0)).alias("total_logs_processed"),
+        F.coalesce(
+            F.sum(F.when(F.col("is_error"), F.col("duplicate_count")).otherwise(0)),
+            F.lit(0),
+        ).alias("error_count"),
+        F.coalesce(
+            F.sum(F.when(F.col("is_warning"), F.col("duplicate_count")).otherwise(0)),
+            F.lit(0),
+        ).alias("warning_count"),
+    )
+    clusters = scored.agg(
+        F.count(F.lit(1)).alias("clusters_found"),
+        F.coalesce(
+            F.sum(F.when(F.col("actionable"), 1).otherwise(0)), F.lit(0)
+        ).alias("actionable_count"),
+    )
+    return (
+        totals.crossJoin(clusters)
+        .withColumn(
+            "info_count",
+            F.col("total_logs_processed") - F.col("error_count") - F.col("warning_count"),
+        )
+        .withColumn(
+            "error_rate",
+            F.round(
+                F.col("error_count") * 100.0
+                / F.nullif(F.col("total_logs_processed"), F.lit(0)),
+                4,
+            ),
+        )
+        .withColumn(
+            "warning_rate",
+            F.round(
+                F.col("warning_count") * 100.0
+                / F.nullif(F.col("total_logs_processed"), F.lit(0)),
+                4,
+            ),
+        )
+        .withColumn(
+            "top_issues_count",
+            F.least(F.lit(TOP_ISSUES_N), F.col("actionable_count")).cast("long"),
+        )
+    )

@@ -1,0 +1,315 @@
+"""Oracle SQL generator: the whole pipeline as one dialect-neutral CTE chain.
+
+The driver verifies each Spark query against ANSI SQL run by DuckDB on the
+same parquet inputs. This module builds that SQL from the same constants
+(regex patterns, dictionaries, hash arithmetic, bounds) the Spark pipeline
+uses — one source of truth, two independent executions.
+
+The chain mirrors the stages 1:1::
+
+    tr (transcripts derivation) -> parsed -> enriched -> classified
+      -> kept -> dedup -> buckets -> scored
+
+Each public ``q_*`` function returns a complete SELECT statement.
+"""
+
+from __future__ import annotations
+
+from . import dicts
+from .parse import (
+    RE_CONV_NUM,
+    RE_JSON_LEVEL,
+    RE_JSON_MESSAGE,
+    RE_JSON_SERVICE,
+    RE_KLOG,
+    RE_PLAIN,
+)
+from .transcripts import DUCKDB, SPARK, Dialect, transcripts_sql
+
+
+def _re(d: Dialect, pat: str) -> str:
+    """Quote a regex for embedding in a SQL string literal."""
+    if d.name == "spark":
+        pat = pat.replace("\\", "\\\\")
+    return pat.replace("'", "''")
+
+
+def _level_priority_sql(col: str) -> str:
+    whens = " ".join(f"WHEN '{lv}' THEN {pr}" for lv, pr, _ in dicts.LEVEL_META)
+    return f"CASE {col} {whens} ELSE 0 END"
+
+
+def _base_score_sql(col: str) -> str:
+    whens = " ".join(f"WHEN '{lv}' THEN {sc}" for lv, _, sc in dicts.LEVEL_META)
+    return f"CASE {col} {whens} ELSE 5 END"
+
+
+def _bucket_sql(score_col: str, out: str) -> str:
+    branches = " ".join(
+        f"WHEN {score_col} BETWEEN {lo} AND {hi} THEN "
+        + (f"'{name}'" if out == "name" else str(num))
+        for lo, hi, name, num in dicts.SEVERITY_BUCKETS
+    )
+    default = "'medium'" if out == "name" else "5"
+    return f"CASE {branches} ELSE {default} END"
+
+
+def pipeline_ctes(d: Dialect, events_rel: str = "events") -> str:
+    """The WITH-clause body shared by every oracle query."""
+    keep_levels = ",".join(f"'{v}'" for v in ("ERROR", "CRITICAL", "WARNING"))
+    h100 = dicts.hash100_sql("conv_num", "turn_idx")
+    return f"""
+WITH tr AS (
+{transcripts_sql(d, events_rel)}
+), parsed0 AS (
+  SELECT conv_id, turn_idx, role, tool, ts, text,
+    CAST(regexp_extract(conv_id, '{_re(d, RE_CONV_NUM)}', 1) AS BIGINT) AS conv_num,
+    NULLIF(regexp_extract(text, '{_re(d, RE_PLAIN)}', 2), '') AS plain_lvl,
+    NULLIF(regexp_extract(text, '{_re(d, RE_PLAIN)}', 3), '') AS plain_svc,
+    regexp_extract(text, '{_re(d, RE_PLAIN)}', 4) AS plain_msg,
+    NULLIF(regexp_extract(text, '{_re(d, RE_PLAIN)}', 1), '') AS plain_ts,
+    CASE WHEN text LIKE '{{%' THEN NULLIF(regexp_extract(text, '{_re(d, RE_JSON_LEVEL)}', 1), '') END AS json_lvl,
+    CASE WHEN text LIKE '{{%' THEN NULLIF(regexp_extract(text, '{_re(d, RE_JSON_SERVICE)}', 1), '') END AS json_svc,
+    CASE WHEN text LIKE '{{%' THEN regexp_extract(text, '{_re(d, RE_JSON_MESSAGE)}', 1) END AS json_msg,
+    NULLIF(regexp_extract(text, '{_re(d, RE_KLOG)}', 1), '') AS klog_lvl,
+    NULLIF(regexp_extract(text, '{_re(d, RE_KLOG)}', 4), '') AS klog_svc,
+    regexp_extract(text, '{_re(d, RE_KLOG)}', 6) AS klog_msg
+  FROM tr
+), parsed AS (
+  SELECT conv_id, turn_idx, role, tool, ts, text, conv_num,
+    CASE WHEN plain_lvl IS NOT NULL THEN 'plain'
+         WHEN json_lvl IS NOT NULL THEN 'json'
+         WHEN klog_lvl IS NOT NULL THEN 'klog' END AS grammar,
+    COALESCE(plain_lvl, json_lvl, klog_lvl) AS level_raw,
+    CASE WHEN plain_lvl IS NOT NULL THEN plain_svc
+         WHEN json_lvl IS NOT NULL THEN json_svc
+         WHEN klog_lvl IS NOT NULL THEN klog_svc END AS service,
+    CASE WHEN plain_lvl IS NOT NULL THEN plain_msg
+         WHEN json_lvl IS NOT NULL THEN json_msg
+         WHEN klog_lvl IS NOT NULL THEN klog_msg END AS message,
+    {d.epoch_ms(d.try_parse_ts("plain_ts"))} AS text_ts_ms
+  FROM parsed0
+), enriched AS (
+  SELECT p.*, severity_dict.level, severity_dict.severity,
+         severity_dict.severity_score, severity_dict.is_error,
+         severity_dict.is_warning, tool_dict.tool_category,
+         tool_dict.is_sensitive, role_dict.role_class
+  FROM parsed p
+  LEFT JOIN {dicts.severity_dict_values_sql()} ON p.level_raw = severity_dict.level_raw
+  LEFT JOIN {dicts.tool_dict_values_sql()} ON p.tool = tool_dict.tool
+  LEFT JOIN {dicts.role_dict_values_sql()} ON p.role = role_dict.role
+), classified AS (
+  SELECT *,
+    COALESCE(text_ts_ms, {d.epoch_ms("ts")}) AS effective_ts_ms,
+    CASE WHEN text = '' THEN 'empty_text'
+         WHEN level_raw IS NULL THEN 'unparseable_ts'
+         WHEN COALESCE(text_ts_ms, {d.epoch_ms("ts")}) < {dicts.TS_LOW_MS}
+           OR COALESCE(text_ts_ms, {d.epoch_ms("ts")}) > {dicts.TS_HIGH_MS}
+           THEN 'invalid_bounds'
+         WHEN level IS NULL THEN 'unknown_level' END AS anomaly_reason,
+    {h100} AS hash100
+  FROM enriched
+), flagged AS (
+  SELECT *,
+    (anomaly_reason IS NULL) AS is_valid,
+    (anomaly_reason IS NULL AND level IN ({keep_levels})) AS keep_level,
+    (anomaly_reason IS NULL AND level NOT IN ({keep_levels})
+      AND hash100 < {dicts.SAMPLING_RATE_PCT}) AS keep_sampled
+  FROM classified
+), kept AS (
+  SELECT * FROM flagged WHERE keep_level OR keep_sampled
+), dedup AS (
+  SELECT * FROM (
+    SELECT LOWER(message) AS dedup_key, conv_id, turn_idx, level, severity,
+           severity_score, is_error, is_warning, service, message,
+           ROW_NUMBER() OVER (PARTITION BY LOWER(message)
+             ORDER BY effective_ts_ms, conv_id, turn_idx) AS rn,
+           COUNT(*) OVER (PARTITION BY LOWER(message)) AS duplicate_count,
+           MIN(effective_ts_ms) OVER (PARTITION BY LOWER(message)) AS first_ts_ms,
+           MAX(effective_ts_ms) OVER (PARTITION BY LOWER(message)) AS last_ts_ms
+    FROM kept
+  ) x WHERE rn = 1
+), buckets AS (
+  SELECT fingerprint,
+         CAST(n_unique AS BIGINT) AS n_unique,
+         total_log_count, error_count,
+         CAST(n_sources AS BIGINT) AS n_sources,
+         cluster_first_ts_ms AS first_ts_ms, cluster_last_ts_ms AS last_ts_ms,
+         level AS rep_level,
+         CASE WHEN LENGTH(message) > 200
+              THEN SUBSTRING(message, 1, 197) || '...' ELSE message
+         END AS representative_message
+  FROM (
+    SELECT *,
+      ROW_NUMBER() OVER (PARTITION BY fingerprint
+        ORDER BY level_priority DESC, last_ts_ms DESC, conv_id, turn_idx) AS rn2,
+      COUNT(*) OVER (PARTITION BY fingerprint) AS n_unique,
+      CAST(SUM(duplicate_count) OVER (PARTITION BY fingerprint) AS BIGINT) AS total_log_count,
+      CAST(SUM(CASE WHEN is_error THEN duplicate_count ELSE 0 END)
+        OVER (PARTITION BY fingerprint) AS BIGINT) AS error_count,
+      COUNT(DISTINCT service) OVER (PARTITION BY fingerprint) AS n_sources,
+      MIN(first_ts_ms) OVER (PARTITION BY fingerprint) AS cluster_first_ts_ms,
+      MAX(last_ts_ms) OVER (PARTITION BY fingerprint) AS cluster_last_ts_ms
+    FROM (
+      SELECT d.*,
+        d.level || '|' || regexp_replace(LOWER(d.message), '[0-9]+', '#'{", 'g'" if d.name == "duckdb" else ""}) AS fingerprint,
+        {_level_priority_sql("d.level")} AS level_priority
+      FROM dedup d
+    ) f
+  ) g WHERE rn2 = 1
+), scored AS (
+  SELECT *,
+    {_bucket_sql("cluster_score", "name")} AS cluster_severity,
+    {_bucket_sql("cluster_score", "num")} AS severity_numeric,
+    {_bucket_sql("cluster_score", "name")} IN ('medium','high','critical') AS actionable
+  FROM (
+    SELECT b.*,
+      LEAST(10, {_base_score_sql("rep_level")}
+        + CASE WHEN total_log_count >= 10 THEN 1 ELSE 0 END) AS cluster_score
+    FROM buckets b
+  ) s
+)"""
+
+
+def _q(d: Dialect, body: str, events_rel: str = "events") -> str:
+    return pipeline_ctes(d, events_rel) + "\n" + body
+
+
+# ---- per-stage oracle queries ----------------------------------------------
+
+
+def q_transcripts(d: Dialect = DUCKDB) -> str:
+    return _q(
+        d,
+        f"SELECT conv_id, turn_idx, role, text, tool, {d.epoch_ms('ts')} AS ts_ms FROM tr",
+    )
+
+
+def q_parse(d: Dialect = DUCKDB) -> str:
+    return _q(
+        d,
+        "SELECT conv_id, turn_idx, grammar, level_raw, service, message, text_ts_ms FROM parsed",
+    )
+
+
+def q_validate(d: Dialect = DUCKDB) -> str:
+    return _q(
+        d,
+        "SELECT COALESCE(anomaly_reason, 'valid') AS reason, COUNT(*) AS n"
+        " FROM classified GROUP BY 1",
+    )
+
+
+def q_enrich_severity(d: Dialect = DUCKDB) -> str:
+    return _q(
+        d,
+        "SELECT level, severity, severity_score, is_error, is_warning,"
+        " COUNT(*) AS n FROM enriched WHERE level IS NOT NULL"
+        " GROUP BY 1,2,3,4,5",
+    )
+
+
+def q_enrich_tool_role(d: Dialect = DUCKDB) -> str:
+    return _q(
+        d,
+        "SELECT tool_category, is_sensitive, role_class, COUNT(*) AS n"
+        " FROM enriched GROUP BY 1,2,3",
+    )
+
+
+def q_route_errors(d: Dialect = DUCKDB) -> str:
+    return _q(
+        d,
+        "SELECT conv_id, turn_idx, role, tool, effective_ts_ms AS ts_ms,"
+        " level, severity, severity_score, service, message"
+        " FROM flagged WHERE is_valid AND level IN ('ERROR','CRITICAL')",
+    )
+
+
+def q_route_tool_calls(d: Dialect = DUCKDB) -> str:
+    return _q(
+        d,
+        "SELECT conv_id, turn_idx, role, tool, tool_category, is_sensitive,"
+        " effective_ts_ms AS ts_ms, message"
+        " FROM flagged WHERE is_valid AND tool <> ''",
+    )
+
+
+def q_route_anomalies(d: Dialect = DUCKDB) -> str:
+    return _q(
+        d,
+        f"SELECT conv_id, turn_idx, {d.epoch_ms('ts')} AS ts_ms,"
+        " anomaly_reason AS reason FROM flagged WHERE NOT is_valid",
+    )
+
+
+def q_sampling(d: Dialect = DUCKDB) -> str:
+    return _q(
+        d,
+        "SELECT keep_level, keep_sampled, COUNT(*) AS n FROM flagged"
+        " WHERE is_valid GROUP BY 1,2",
+    )
+
+
+def q_kept_rows(d: Dialect = DUCKDB) -> str:
+    """The routed-row equality invariant: every kept turn, full identity."""
+    return _q(
+        d,
+        "SELECT conv_id, turn_idx, level, service, message,"
+        " effective_ts_ms AS ts_ms FROM kept",
+    )
+
+
+def q_dedup(d: Dialect = DUCKDB) -> str:
+    return _q(
+        d,
+        "SELECT dedup_key, conv_id, turn_idx, duplicate_count,"
+        " first_ts_ms, last_ts_ms FROM dedup",
+    )
+
+
+def q_report_buckets(d: Dialect = DUCKDB) -> str:
+    return _q(
+        d,
+        "SELECT fingerprint, n_unique, total_log_count, error_count,"
+        " n_sources, first_ts_ms, last_ts_ms, rep_level,"
+        " representative_message FROM buckets",
+    )
+
+
+def q_top_issues(d: Dialect = DUCKDB) -> str:
+    return _q(
+        d,
+        """SELECT rank, fingerprint, cluster_severity, cluster_score,
+       total_log_count, error_count, representative_message
+FROM (
+  SELECT *, ROW_NUMBER() OVER (ORDER BY cluster_score DESC,
+      total_log_count DESC, fingerprint) AS rank
+  FROM scored WHERE actionable
+) t WHERE rank <= 10""",
+    )
+
+
+def q_summary(d: Dialect = DUCKDB) -> str:
+    return _q(
+        d,
+        """SELECT t.total_logs_processed, t.error_count, t.warning_count,
+       t.total_logs_processed - t.error_count - t.warning_count AS info_count,
+       ROUND(t.error_count * 100.0 / NULLIF(t.total_logs_processed, 0), 4) AS error_rate,
+       ROUND(t.warning_count * 100.0 / NULLIF(t.total_logs_processed, 0), 4) AS warning_rate,
+       c.clusters_found, c.actionable_count,
+       CAST(LEAST(10, c.actionable_count) AS BIGINT) AS top_issues_count
+FROM (
+  SELECT CAST(COALESCE(SUM(duplicate_count), 0) AS BIGINT) AS total_logs_processed,
+         CAST(COALESCE(SUM(CASE WHEN is_error THEN duplicate_count ELSE 0 END), 0) AS BIGINT) AS error_count,
+         CAST(COALESCE(SUM(CASE WHEN is_warning THEN duplicate_count ELSE 0 END), 0) AS BIGINT) AS warning_count
+  FROM dedup
+) t CROSS JOIN (
+  SELECT COUNT(*) AS clusters_found,
+         CAST(COALESCE(SUM(CASE WHEN actionable THEN 1 ELSE 0 END), 0) AS BIGINT) AS actionable_count
+  FROM scored
+) c""",
+    )
+
+
+__all__ = [n for n in dir() if n.startswith("q_")] + ["pipeline_ctes", "SPARK", "DUCKDB"]

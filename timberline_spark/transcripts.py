@@ -1,0 +1,180 @@
+"""Deterministic transcript-table derivation (test/bench input; no external data).
+
+The target input is an Iceberg table ``transcripts(conv_id string,
+turn_idx int, role string, text string, tool string, ts timestamp)`` of
+multi-turn conversation/agent transcripts. In this sandbox we synthesize it
+deterministically from the driver's seeded ``events`` parquet via a
+dialect-neutral SQL mapping that both Spark and DuckDB evaluate
+bit-identically — so the driver's DuckDB oracle can check every downstream
+pipeline stage.
+
+The generated ``text`` column mixes the line grammars of the reference's
+synthetic corpus (/root/reference/tests/docker/log_generator.py):
+
+- g0: plain leveled line    ``"<ts> <LEVEL> [<service>] <message>"``
+      (log_generator.py:100-106)
+- g1: structured JSON line  ``{"level":...,"service":...,"message":...}``
+      (log_generator.py:118-271)
+- g2: k8s klog style        ``"<L><MMDD> <HH:MM:SS.ffffff> 1 <file>:<line>] <msg>"``
+      (log_generator.py:273-339)
+- plus empty lines, unparseable garbage, out-of-bounds timestamps and
+  unicode payloads (log_generator.py:529-543) to exercise the reject paths.
+
+Every choice is a pure function of (event_id, user_id, event_type, value, ts)
+— no rand(), no now() — so the table is identical at every parallelism level.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+
+@dataclass(frozen=True)
+class Dialect:
+    """SQL dialect shims for the few functions Spark and DuckDB spell differently."""
+
+    name: str
+    str_type: str
+
+    def fmt_ts(self, e: str) -> str:  # -> 'YYYY-MM-DD HH:MM:SS'
+        if self.name == "spark":
+            return f"date_format({e}, 'yyyy-MM-dd HH:mm:ss')"
+        return f"strftime({e}, '%Y-%m-%d %H:%M:%S')"
+
+    def fmt_mmdd(self, e: str) -> str:
+        if self.name == "spark":
+            return f"date_format({e}, 'MMdd')"
+        return f"strftime({e}, '%m%d')"
+
+    def fmt_hms(self, e: str) -> str:
+        if self.name == "spark":
+            return f"date_format({e}, 'HH:mm:ss')"
+        return f"strftime({e}, '%H:%M:%S')"
+
+    def epoch_ms(self, e: str) -> str:
+        if self.name == "spark":
+            return f"unix_millis(cast({e} as timestamp))"
+        return f"epoch_ms({e})"
+
+    def try_parse_ts(self, e: str) -> str:  # from 'YYYY-MM-DD HH:MM:SS'
+        if self.name == "spark":
+            return f"try_to_timestamp({e}, 'yyyy-MM-dd HH:mm:ss')"
+        return f"try_strptime({e}, '%Y-%m-%d %H:%M:%S')"
+
+
+SPARK = Dialect("spark", "STRING")
+DUCKDB = Dialect("duckdb", "VARCHAR")
+
+
+def transcripts_sql(d: Dialect, events_rel: str = "events") -> str:
+    """SELECT producing the transcripts table from `events`, dialect-neutral."""
+    S = d.str_type
+    msg = (
+        "CASE event_type "
+        f"WHEN 'error' THEN 'Connection pool exhausted for pool-' || CAST(user_id % 5 AS {S})"
+        f" || ' after ' || CAST(CAST(FLOOR(value) AS BIGINT) AS {S}) || ' retries' "
+        f"WHEN 'signup' THEN 'Rate limit exceeded for user u' || CAST(user_id AS {S}) "
+        f"WHEN 'purchase' THEN 'Payment gateway timeout after ' || CAST(CAST(FLOOR(value) AS BIGINT) AS {S}) || 'ms' "
+        f"WHEN 'click' THEN 'User clicked element btn-' || CAST(event_id % 13 AS {S}) "
+        f"ELSE 'Page viewed in session sess-' || CAST(user_id % 50 AS {S}) END"
+        " || CASE WHEN event_id % 11 = 0 THEN ' ñ中文' ELSE '' END"
+    )
+    lvl = (
+        "CASE WHEN event_id % 101 = 0 THEN 'NOTICE' "
+        "WHEN event_type = 'error' THEN (CASE WHEN event_id % 7 = 0 THEN 'FATAL' ELSE 'ERROR' END) "
+        "WHEN event_type = 'signup' THEN 'WARN' "
+        "WHEN event_type = 'purchase' THEN 'WARNING' "
+        "WHEN event_type = 'click' THEN 'INFO' ELSE 'DEBUG' END"
+    )
+    ts_str = (
+        "CASE WHEN event_id % 89 = 0 THEN '1999-01-01 00:00:00' "
+        "WHEN event_id % 179 = 0 THEN '2030-01-01 00:00:00' "
+        f"ELSE {d.fmt_ts('ts')} END"
+    )
+    klog_char = (
+        "CASE WHEN lvl = 'ERROR' THEN 'E' WHEN lvl = 'FATAL' THEN 'F' "
+        "WHEN lvl IN ('WARN','WARNING') THEN 'W' ELSE 'I' END"
+    )
+    json_line = (
+        "'{\"level\":\"' || lvl || '\",\"service\":\"' || service || "
+        "'\",\"message\":\"' || msg || '\"}'"
+    )
+    klog_line = (
+        f"{klog_char} || {d.fmt_mmdd('ts')} || ' ' || {d.fmt_hms('ts')} || "
+        f"'.000000 1 ' || service || '.go:' || CAST(event_id % 500 AS {S}) || '] ' || msg"
+    )
+    text = (
+        "CASE WHEN event_id % 97 = 0 THEN '' "
+        "WHEN event_id % 83 = 0 THEN '???unparseable???' "
+        "WHEN event_id % 3 = 0 THEN ts_str || ' ' || lvl || ' [' || service || '] ' || msg "
+        f"WHEN event_id % 3 = 1 THEN {json_line} "
+        f"ELSE {klog_line} END"
+    )
+    tool = (
+        "CASE WHEN event_id % 5 = 0 THEN '' "
+        "WHEN event_type = 'error' THEN 'bash' "
+        "WHEN event_type = 'purchase' THEN 'http' "
+        "WHEN event_type = 'signup' THEN 'db' "
+        "WHEN event_type = 'view' THEN 'browser' ELSE 'search' END"
+    )
+    return f"""
+WITH ev AS (
+  SELECT event_id, ts, user_id, event_type, value,
+         CAST(ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY ts, event_id) - 1 AS INT) AS turn_idx
+  FROM {events_rel}
+), base AS (
+  SELECT event_id, ts, user_id, event_type, value, turn_idx,
+         {lvl} AS lvl,
+         'svc-' || CAST(user_id % 8 AS {S}) AS service,
+         {msg} AS msg
+  FROM ev
+), base2 AS (
+  SELECT *, {ts_str} AS ts_str FROM base
+)
+SELECT
+  'conv-' || LPAD(CAST(user_id AS {S}), 9, '0') AS conv_id,
+  turn_idx,
+  CASE CAST(turn_idx % 4 AS INT) WHEN 0 THEN 'user' WHEN 1 THEN 'assistant'
+       WHEN 2 THEN 'system' ELSE 'tool' END AS role,
+  {text} AS text,
+  {tool} AS tool,
+  ts
+FROM base2
+"""
+
+
+def load_transcripts(spark: SparkSession, sf_dir: str, replicate: int = 1) -> DataFrame:
+    """Derive the transcripts DataFrame from `<sf_dir>/events.parquet`.
+
+    replicate > 1 scales the table for bench runs: each replica gets a
+    disjoint conv_id space (user_id + k*1_000_000), keeping the table
+    deterministic and the key distribution realistic (hot conversations
+    remain hot within each replica).
+    """
+    spark.read.parquet(f"{sf_dir}/events.parquet").createOrReplaceTempView("events")
+    df = spark.sql(transcripts_sql(SPARK))
+    if replicate > 1:
+        reps = spark.range(replicate).withColumnRenamed("id", "rep")
+        base_num = F.regexp_extract(F.col("conv_id"), "^conv-([0-9]+)$", 1).cast("long")
+        df = (
+            df.crossJoin(reps)
+            .withColumn(
+                "conv_id",
+                F.concat(
+                    F.lit("conv-"),
+                    F.lpad(
+                        (base_num + F.col("rep") * 1_000_000).cast("string"), 9, "0"
+                    ),
+                ),
+            )
+            .drop("rep")
+        )
+    return df
+
+
+def duckdb_transcripts_cte(events_rel: str = "events") -> str:
+    """The same derivation as a DuckDB SQL snippet (for the oracle)."""
+    return transcripts_sql(DUCKDB, events_rel)
