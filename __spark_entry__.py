@@ -23,7 +23,7 @@ def entry(spark: SparkSession) -> DataFrame:
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    return dict(Q.PIPELINE_QUERIES)
+    return dict(Q.PIPELINE_QUERIES) | dict(Q.EXTRA_QUERIES)
 
 
 def oracle_sql() -> dict[str, str]:
@@ -33,4 +33,8 @@ def oracle_sql() -> dict[str, str]:
         fn = getattr(sqlgen, f"q_{oracle_name}", None)
         if fn is not None:
             out[name] = fn()
+    # non-SQL-expressible extras (minhash/simhash/LSH/multimodal) are
+    # intentionally absent -> driver records the weaker rows-only check;
+    # their exact semantics are pinned by pure-Python oracles in tests.
+    out.update(Q.EXTRA_ORACLES)
     return out

@@ -51,29 +51,43 @@ def dedup_turns(kept: DataFrame) -> DataFrame:
     (effective_ts_ms, conv_id, turn_idx) — deterministic at any parallelism.
     """
     df = kept.withColumn("dedup_key", F.lower(F.col("message")))
-    w = Window.partitionBy("dedup_key")
-    wo = w.orderBy("effective_ts_ms", "conv_id", "turn_idx")
-    return (
-        df.withColumn("rn", F.row_number().over(wo))
-        .withColumn("duplicate_count", F.count(F.lit(1)).over(w))
-        .withColumn("first_ts_ms", F.min("effective_ts_ms").over(w))
-        .withColumn("last_ts_ms", F.max("effective_ts_ms").over(w))
-        .filter(F.col("rn") == 1)
-        .select(
-            "dedup_key",
-            "conv_id",
-            "turn_idx",
-            "level",
-            "severity",
-            "severity_score",
-            "is_error",
-            "is_warning",
-            "service",
-            "message",
-            "duplicate_count",
-            "first_ts_ms",
-            "last_ts_ms",
-        )
+    # min(struct(...)) hash-aggregate instead of a row_number window: gets
+    # map-side partial aggregation and avoids the per-partition sort — the
+    # difference between "works" and "works at 100 TB". The struct's leading
+    # fields (effective_ts_ms, conv_id, turn_idx) are a unique total order,
+    # so the winner is deterministic at any parallelism.
+    rep = F.struct(
+        F.col("effective_ts_ms"),
+        F.col("conv_id"),
+        F.col("turn_idx"),
+        F.col("level"),
+        F.col("severity"),
+        F.col("severity_score"),
+        F.col("is_error"),
+        F.col("is_warning"),
+        F.col("service"),
+        F.col("message"),
+    )
+    g = df.groupBy("dedup_key").agg(
+        F.min(rep).alias("rep"),
+        F.count(F.lit(1)).alias("duplicate_count"),
+        F.min("effective_ts_ms").alias("first_ts_ms"),
+        F.max("effective_ts_ms").alias("last_ts_ms"),
+    )
+    return g.select(
+        "dedup_key",
+        F.col("rep.conv_id").alias("conv_id"),
+        F.col("rep.turn_idx").alias("turn_idx"),
+        F.col("rep.level").alias("level"),
+        F.col("rep.severity").alias("severity"),
+        F.col("rep.severity_score").alias("severity_score"),
+        F.col("rep.is_error").alias("is_error"),
+        F.col("rep.is_warning").alias("is_warning"),
+        F.col("rep.service").alias("service"),
+        F.col("rep.message").alias("message"),
+        "duplicate_count",
+        "first_ts_ms",
+        "last_ts_ms",
     )
 
 
@@ -89,38 +103,39 @@ def report_buckets(deduped: DataFrame) -> DataFrame:
     df = deduped.withColumn(
         "fingerprint", cluster_fingerprint(F.col("message"), F.col("level"))
     ).withColumn("level_priority", _level_priority(F.col("level")))
-    w = Window.partitionBy("fingerprint")
-    wo = w.orderBy(
-        F.col("level_priority").desc(),
-        F.col("last_ts_ms").desc(),
+    # representative order (milvus_client.py:331-349): priority desc,
+    # recency desc, then (conv_id, turn_idx) asc — encoded as a min(struct)
+    # by negating the numeric desc keys, so the whole bucket build is one
+    # hash aggregate (map-side combinable; no window sort).
+    rep = F.struct(
+        (-F.col("level_priority")).alias("neg_priority"),
+        (-F.col("last_ts_ms")).alias("neg_last_ts"),
         F.col("conv_id"),
         F.col("turn_idx"),
+        F.col("level"),
+        F.col("message"),
     )
-    return (
-        df.withColumn("rn", F.row_number().over(wo))
-        .withColumn("n_unique", F.count(F.lit(1)).over(w))
-        .withColumn("total_log_count", F.sum("duplicate_count").over(w))
-        .withColumn(
-            "error_count",
-            F.sum(
-                F.when(F.col("is_error"), F.col("duplicate_count")).otherwise(F.lit(0))
-            ).over(w),
-        )
-        .withColumn("n_sources", F.size(F.collect_set("service").over(w)))
-        .withColumn("cluster_first_ts_ms", F.min("first_ts_ms").over(w))
-        .withColumn("cluster_last_ts_ms", F.max("last_ts_ms").over(w))
-        .filter(F.col("rn") == 1)
-        .select(
-            "fingerprint",
-            F.col("n_unique").cast("long").alias("n_unique"),
-            "total_log_count",
-            "error_count",
-            F.col("n_sources").cast("long").alias("n_sources"),
-            F.col("cluster_first_ts_ms").alias("first_ts_ms"),
-            F.col("cluster_last_ts_ms").alias("last_ts_ms"),
-            F.col("level").alias("rep_level"),
-            _truncate_message(F.col("message")).alias("representative_message"),
-        )
+    g = df.groupBy("fingerprint").agg(
+        F.count(F.lit(1)).alias("n_unique"),
+        F.sum("duplicate_count").alias("total_log_count"),
+        F.sum(
+            F.when(F.col("is_error"), F.col("duplicate_count")).otherwise(F.lit(0))
+        ).alias("error_count"),
+        F.countDistinct("service").alias("n_sources"),
+        F.min("first_ts_ms").alias("first_ts_ms"),
+        F.max("last_ts_ms").alias("last_ts_ms"),
+        F.min(rep).alias("rep"),
+    )
+    return g.select(
+        "fingerprint",
+        "n_unique",
+        "total_log_count",
+        "error_count",
+        "n_sources",
+        "first_ts_ms",
+        "last_ts_ms",
+        F.col("rep.level").alias("rep_level"),
+        _truncate_message(F.col("rep.message")).alias("representative_message"),
     )
 
 

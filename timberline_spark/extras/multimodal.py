@@ -1,0 +1,124 @@
+"""Multimodal column plumbing: opaque binary payloads + typed metadata.
+
+Pattern for image/audio/video at 100 TB: the payload is an opaque ``binary``
+column with a typed metadata struct beside it; decode / feature-extract /
+frame-sample run as Arrow-batched ``mapInPandas`` over partition-sized
+batches. The decode libraries are not in this container, so the decode step
+is a clearly-marked deterministic fake behind ``decode_features`` (set
+``real_decode=True`` to see the NotImplementedError gate); the Spark-side
+plumbing — schema, partitioning, UDF signature, batch shape — is real and
+tested.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+N_FEATURES = 8
+FRAME_BYTES = 16
+
+FEATURE_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("modality", T.StringType()),
+        T.StructField("n_bytes", T.LongType()),
+        T.StructField("features", T.ArrayType(T.FloatType())),
+    ]
+)
+
+
+def attach_binary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """documents -> (doc_id, modality, payload binary, meta struct).
+
+    Stands in for an ingest that carries image/audio bytes: payload is the
+    utf-8 encoding of the text (deterministic), modality cycles.
+    """
+    df = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    payload = F.encode(F.col("text"), "utf-8")
+    return df.select(
+        "doc_id",
+        F.element_at(
+            F.array(F.lit("image"), F.lit("audio"), F.lit("video")),
+            (F.col("doc_id") % 3 + 1).cast("int"),
+        ).alias("modality"),
+        payload.alias("payload"),
+        F.struct(
+            F.octet_length(payload).cast("long").alias("n_bytes"),
+            F.substring(F.col("text"), 1, 8).alias("magic"),
+        ).alias("meta"),
+    )
+
+
+def _fake_features(payload: bytes) -> list[float]:
+    """Deterministic stand-in for a real decoder: per-stride byte means."""
+    arr = np.frombuffer(payload, dtype=np.uint8)
+    if arr.size == 0:
+        return [0.0] * N_FEATURES
+    chunks = np.array_split(arr.astype(np.float64), N_FEATURES)
+    return [float(round(c.mean() if c.size else 0.0, 4)) for c in chunks]
+
+
+def decode_features(df: DataFrame, real_decode: bool = False) -> DataFrame:
+    """Arrow-batched feature extraction over the binary payload column.
+
+    real_decode=True is the hook where PIL/librosa/ffmpeg would run; those
+    libraries are not in this container, so it raises NotImplementedError.
+    The deterministic fake keeps the distributed plumbing testable.
+    """
+
+    def _batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            if real_decode:
+                raise NotImplementedError(
+                    "real image/audio decode requires PIL/librosa/ffmpeg, "
+                    "not available in this environment"
+                )
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "modality": pdf["modality"],
+                    "n_bytes": pdf["payload"].map(len).astype("int64"),
+                    "features": pdf["payload"].map(_fake_features),
+                }
+            )
+
+    return df.mapInPandas(_batches, schema=FEATURE_SCHEMA)
+
+
+FRAME_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("frame_idx", T.IntegerType()),
+        T.StructField("frame", T.BinaryType()),
+    ]
+)
+
+
+def frame_sample(df: DataFrame, every: int = 4) -> DataFrame:
+    """Sample every Nth fixed-size 'frame' from the payload (video analog).
+
+    Pure JVM-side: substring arithmetic over the binary column — no Python
+    in the hot path.
+    """
+    n_frames = F.floor(F.octet_length("payload") / FRAME_BYTES).cast("int")
+    idxs = F.sequence(F.lit(0), F.greatest(n_frames - 1, F.lit(0)), F.lit(every))
+
+    def _frame_lambda(i):
+        return F.struct(
+            i.cast("int").alias("frame_idx"),
+            F.substring(
+                F.col("payload"), (i * FRAME_BYTES + 1).cast("int"), FRAME_BYTES
+            ).alias("frame"),
+        )
+
+    return (
+        df.filter(F.octet_length("payload") >= FRAME_BYTES)
+        .select("doc_id", F.explode(F.transform(idxs, _frame_lambda)).alias("f"))
+        .select("doc_id", "f.frame_idx", "f.frame")
+    )

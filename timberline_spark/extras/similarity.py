@@ -1,0 +1,237 @@
+"""Similarity search over the ``embeddings`` table + embedding surrogate.
+
+The reference's ANN path (HNSW cosine top-100 per insert,
+``/root/reference/log-ingestor/internal/storage/milvus.go:205-271``) maps to:
+
+- ``emb_knn_brute``: exact cosine top-k — broadcast the (small) query set,
+  one scan over the corpus, per-query window top-k. The correctness
+  baseline; oracle-checked against DuckDB.
+- ``emb_knn_lsh``: random-hyperplane LSH buckets (deterministic arithmetic
+  hyperplanes, no rand()) -> candidate join -> exact rescore. The scale
+  path: bucket join instead of all-pairs.
+- ``embed_texts``: deterministic hash-projection text -> vector surrogate for
+  the reference's embedding service
+  (``log-ingestor/internal/embedding/service.go:72-159``) — a vectorized
+  pandas UDF (Arrow batches), no external service.
+
+Scores are computed in double and rounded to 4 decimals before ranking so
+Spark and DuckDB rank identically; ties break on vec_id.
+"""
+
+from __future__ import annotations
+
+import math
+import zlib
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+EMBED_DIM = 64
+LSH_TABLES = 8  # banded hyperplane LSH: union of candidates across tables
+BITS_PER_TABLE = 5
+N_PLANES = LSH_TABLES * BITS_PER_TABLE
+
+
+def _cosine(a, b):
+    dot = F.aggregate(
+        F.zip_with(a, b, lambda x, y: x.cast("double") * y.cast("double")),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    na = F.sqrt(
+        F.aggregate(
+            a, F.lit(0.0), lambda acc, x: acc + x.cast("double") * x.cast("double")
+        )
+    )
+    nb = F.sqrt(
+        F.aggregate(
+            b, F.lit(0.0), lambda acc, x: acc + x.cast("double") * x.cast("double")
+        )
+    )
+    return F.round(dot / F.nullif(na * nb, F.lit(0.0)), 4)
+
+
+def emb_knn_brute(
+    spark: SparkSession, sf_dir: str, k: int = 5, n_queries: int = 10
+) -> DataFrame:
+    """Exact cosine top-k: broadcast queries x corpus scan, window top-k."""
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    q = emb.filter(F.col("vec_id") < n_queries).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("q_emb")
+    )
+    scored = (
+        emb.crossJoin(F.broadcast(q))
+        .filter(F.col("vec_id") != F.col("query_id"))
+        .select(
+            "query_id",
+            F.col("vec_id").alias("neighbor_id"),
+            _cosine(F.col("q_emb"), F.col("embedding")).alias("score"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("score").desc(), F.col("neighbor_id")
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "rank", "score")
+    )
+
+
+def oracle_knn_brute(k: int = 5, n_queries: int = 10) -> str:
+    return f"""
+WITH q AS (
+  SELECT vec_id AS query_id, embedding::DOUBLE[] AS q_emb
+  FROM embeddings WHERE vec_id < {n_queries}
+), scored AS (
+  SELECT q.query_id, e.vec_id AS neighbor_id,
+    ROUND(list_dot_product(q.q_emb, e.embedding::DOUBLE[]) /
+      NULLIF(sqrt(list_dot_product(q.q_emb, q.q_emb)) *
+             sqrt(list_dot_product(e.embedding::DOUBLE[], e.embedding::DOUBLE[])), 0.0),
+      4) AS score
+  FROM embeddings e CROSS JOIN q
+  WHERE e.vec_id <> q.query_id
+)
+SELECT query_id, neighbor_id, rank, score FROM (
+  SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+      ORDER BY score DESC, neighbor_id) AS rank
+  FROM scored
+) t WHERE rank <= {k}"""
+
+
+def _hyperplanes(dim: int = EMBED_DIM, n_planes: int = N_PLANES) -> list[list[float]]:
+    """Deterministic pseudo-random hyperplanes (arithmetic hash, no rand())."""
+    planes = []
+    for j in range(n_planes):
+        row = []
+        for i in range(dim):
+            v = ((j * 1_000_003 + i) * 2_654_435_761) % 4_294_967_296
+            row.append(v / 4_294_967_296.0 - 0.5)
+        planes.append(row)
+    return planes
+
+
+def _plane_bits(emb_col):
+    planes = _hyperplanes()
+    bits = []
+    for row in planes:
+        lit_plane = F.array(*[F.lit(v) for v in row])
+        dot = F.aggregate(
+            F.zip_with(emb_col, lit_plane, lambda x, y: x.cast("double") * y),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+        bits.append(F.when(dot >= 0, F.lit("1")).otherwise(F.lit("0")))
+    return bits
+
+
+def _bucket_col(emb_col):
+    """Single concatenated bucket (used by the cosine near-dup pass)."""
+    return F.concat(*_plane_bits(emb_col)[:BITS_PER_TABLE])
+
+
+def _table_buckets(emb_col):
+    """Array of (table, bucket) structs — banded multi-table LSH. A pair is
+    a candidate if ANY table's bucket matches, which trades one shuffle per
+    table for recall (the standard hyperplane-LSH banding)."""
+    bits = _plane_bits(emb_col)
+    entries = []
+    for t in range(LSH_TABLES):
+        chunk = bits[t * BITS_PER_TABLE : (t + 1) * BITS_PER_TABLE]
+        entries.append(
+            F.struct(F.lit(t).alias("tbl"), F.concat(*chunk).alias("bucket"))
+        )
+    return F.array(*entries)
+
+
+def emb_knn_lsh(
+    spark: SparkSession, sf_dir: str, k: int = 5, n_queries: int = 10
+) -> DataFrame:
+    """LSH-bucketed ANN: hyperplane sign bucket equi-join, exact rescore.
+
+    At corpus scale the bucket join shuffles only on the bucket key; queries
+    are broadcast. Recall < 1.0 by construction (single probe) — the test
+    measures it against the brute-force baseline.
+    """
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet").select(
+        "vec_id",
+        "embedding",
+        F.explode(_table_buckets(F.col("embedding"))).alias("tb"),
+    ).select("vec_id", "embedding", "tb.tbl", "tb.bucket")
+    q = emb.filter(F.col("vec_id") < n_queries).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("q_emb"),
+        F.col("tbl").alias("q_tbl"),
+        F.col("bucket").alias("q_bucket"),
+    )
+    cand = (
+        emb.join(
+            F.broadcast(q),
+            (F.col("tbl") == F.col("q_tbl")) & (F.col("bucket") == F.col("q_bucket")),
+        )
+        .filter(F.col("vec_id") != F.col("query_id"))
+        .select("query_id", F.col("vec_id").alias("neighbor_id"), "q_emb", "embedding")
+        .distinct()
+        .select(
+            "query_id",
+            "neighbor_id",
+            _cosine(F.col("q_emb"), F.col("embedding")).alias("score"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("score").desc(), F.col("neighbor_id")
+    )
+    return (
+        cand.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "rank", "score")
+    )
+
+
+# ---- embedding surrogate (pandas UDF) ---------------------------------------
+
+
+def _embed_batch(texts: pd.Series) -> pd.Series:
+    """Hash-projection embedding: token crc32 -> bucket count, L2-normalized."""
+    out = []
+    for t in texts:
+        vec = np.zeros(EMBED_DIM, dtype=np.float64)
+        if t:
+            for tok in t.lower().split():
+                vec[zlib.crc32(tok.encode()) % EMBED_DIM] += 1.0
+        n = math.sqrt(float((vec * vec).sum()))
+        if n > 0:
+            vec /= n
+        out.append(vec.astype(np.float32).tolist())
+    return pd.Series(out)
+
+
+embed_texts = F.pandas_udf(_embed_batch, returnType=T.ArrayType(T.FloatType()))
+
+
+def doc_cosine_neardup(
+    spark: SparkSession, sf_dir: str, threshold: float = 0.95
+) -> DataFrame:
+    """Embedding-cosine near-dup over documents (reference milvus.go:354-409
+    batch equivalence): surrogate-embed, LSH-bucket, exact-cosine verify."""
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
+        "doc_id", embed_texts(F.col("text")).alias("emb")
+    )
+    docs = docs.withColumn("bucket", _bucket_col(F.col("emb")))
+    a, b = docs.alias("a"), docs.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.bucket") == F.col("b.bucket"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+            _cosine(F.col("a.emb"), F.col("b.emb")).alias("cosine"),
+        )
+        .filter(F.col("cosine") >= threshold)
+    )

@@ -1,0 +1,174 @@
+"""Text analysis operators over the ``documents`` table.
+
+All hot-path math is JVM-side (``pyspark.sql.functions`` — regexp, arrays,
+higher-order functions); ratios are computed from integer counts so the
+DuckDB oracle reproduces them bit-identically.
+
+Operators:
+- token counting (whitespace + BPE-ish word regex)
+- quality scoring (length / punctuation / stopword ratios)
+- language-ID (stopword-hit n-gram heuristic)
+- document fingerprinting (rolling polynomial hash over token shape)
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+TOKEN_RE = "[a-z0-9]+"
+BPE_RE = "[A-Za-z]+|[0-9]+|[^A-Za-z0-9 ]"  # word / number / punct pieces
+EN_STOPWORDS = (
+    "the,a,of,and,to,in,is,it,that,was,for,on,are,as,with,at,by,an,be,this"
+)
+STOPWORD_RE = r"\b(" + "|".join(EN_STOPWORDS.split(",")) + r")\b"
+PUNCT_RE = "[^a-z0-9 ]"
+LANG_STOPWORD_MIN_RATIO = 0.03  # >=3% stopword tokens -> English
+
+# rolling-hash constants (token-shape fingerprint): a cheap, deterministic,
+# cross-engine polynomial over (token length, first char) per token.
+FP_MULT = 31
+FP_MOD = 1_000_000_007
+
+
+def _tokens(col):
+    return F.regexp_extract_all(F.lower(col), F.lit(TOKEN_RE), 0)
+
+
+def doc_token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    df = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return df.select(
+        "doc_id",
+        F.size(F.split(F.col("text"), " ")).cast("long").alias("n_ws_tokens"),
+        F.size(_tokens(F.col("text"))).cast("long").alias("n_tokens"),
+        F.size(F.regexp_extract_all(F.col("text"), F.lit(BPE_RE), 0))
+        .cast("long")
+        .alias("n_bpe_pieces"),
+        F.length("text").cast("long").alias("n_chars_actual"),
+    )
+
+
+def doc_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality signals: token stats + punctuation + stopword ratios."""
+    df = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    toks = _tokens(F.col("text"))
+    n_tok = F.size(toks).cast("long")
+    n_stop = (
+        F.size(F.regexp_extract_all(F.lower(F.col("text")), F.lit(STOPWORD_RE), 0))
+        .cast("long")
+    )
+    n_punct = (
+        F.size(F.regexp_extract_all(F.lower(F.col("text")), F.lit(PUNCT_RE), 0))
+        .cast("long")
+    )
+    total_tok_chars = F.aggregate(
+        toks, F.lit(0).cast("long"), lambda acc, x: acc + F.length(x)
+    )
+    return df.select(
+        "doc_id",
+        n_tok.alias("n_tokens"),
+        n_stop.alias("n_stopwords"),
+        n_punct.alias("n_punct"),
+        F.round(n_stop / F.nullif(n_tok.cast("double"), F.lit(0.0)), 4).alias(
+            "stopword_ratio"
+        ),
+        F.round(n_punct / F.nullif(F.length("text").cast("double"), F.lit(0.0)), 4).alias(
+            "punct_ratio"
+        ),
+        F.round(
+            total_tok_chars / F.nullif(n_tok.cast("double"), F.lit(0.0)), 4
+        ).alias("mean_token_len"),
+    )
+
+
+def doc_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stopword-hit heuristic language ID (n-gram-free, deterministic)."""
+    df = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    toks = _tokens(F.col("text"))
+    n_tok = F.size(toks).cast("long")
+    n_stop = (
+        F.size(F.regexp_extract_all(F.lower(F.col("text")), F.lit(STOPWORD_RE), 0))
+        .cast("long")
+    )
+    pred = F.when(
+        (n_tok > 0)
+        & (n_stop.cast("double") / n_tok.cast("double") >= LANG_STOPWORD_MIN_RATIO),
+        "en",
+    ).otherwise("unknown")
+    return df.select(
+        "doc_id", F.col("lang").alias("lang_label"), pred.alias("lang_pred")
+    )
+
+
+def doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rolling polynomial hash over token shape (len, first-char codepoint).
+
+    Cross-engine deterministic: uses only length/ascii/arithmetic, so the
+    DuckDB oracle computes the identical value. This is the shape-level
+    document fingerprint used for cheap near-dup bucketing.
+    """
+    df = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    toks = _tokens(F.col("text"))
+    fp = F.aggregate(
+        toks,
+        F.lit(0).cast("long"),
+        lambda acc, x: (acc * FP_MULT + F.length(x) * 17 + F.ascii(x)) % FP_MOD,
+    )
+    return df.select("doc_id", fp.alias("fingerprint"))
+
+
+# ---- matching DuckDB oracle SQL ---------------------------------------------
+
+
+def oracle_token_counts() -> str:
+    return f"""
+SELECT doc_id,
+  CAST(len(string_split(text, ' ')) AS BIGINT) AS n_ws_tokens,
+  CAST(len(regexp_extract_all(lower(text), '{TOKEN_RE}')) AS BIGINT) AS n_tokens,
+  CAST(len(regexp_extract_all(text, '{BPE_RE}')) AS BIGINT) AS n_bpe_pieces,
+  CAST(length(text) AS BIGINT) AS n_chars_actual
+FROM documents"""
+
+
+def oracle_quality() -> str:
+    return f"""
+WITH c AS (
+  SELECT doc_id, text,
+    CAST(len(regexp_extract_all(lower(text), '{TOKEN_RE}')) AS BIGINT) AS n_tokens,
+    CAST(len(regexp_extract_all(lower(text), '{STOPWORD_RE}')) AS BIGINT) AS n_stopwords,
+    CAST(len(regexp_extract_all(lower(text), '{PUNCT_RE}')) AS BIGINT) AS n_punct,
+    CAST(list_sum(list_transform(regexp_extract_all(lower(text), '{TOKEN_RE}'),
+        t -> length(t))) AS BIGINT) AS tok_chars
+  FROM documents
+)
+SELECT doc_id, n_tokens, n_stopwords, n_punct,
+  ROUND(n_stopwords / NULLIF(CAST(n_tokens AS DOUBLE), 0.0), 4) AS stopword_ratio,
+  ROUND(n_punct / NULLIF(CAST(length(text) AS DOUBLE), 0.0), 4) AS punct_ratio,
+  ROUND(tok_chars / NULLIF(CAST(n_tokens AS DOUBLE), 0.0), 4) AS mean_token_len
+FROM c"""
+
+
+def oracle_lang_id() -> str:
+    return f"""
+WITH c AS (
+  SELECT doc_id, lang,
+    CAST(len(regexp_extract_all(lower(text), '{TOKEN_RE}')) AS BIGINT) AS n_tokens,
+    CAST(len(regexp_extract_all(lower(text), '{STOPWORD_RE}')) AS BIGINT) AS n_stopwords
+  FROM documents
+)
+SELECT doc_id, lang AS lang_label,
+  CASE WHEN n_tokens > 0
+        AND CAST(n_stopwords AS DOUBLE) / n_tokens >= {LANG_STOPWORD_MIN_RATIO}
+       THEN 'en' ELSE 'unknown' END AS lang_pred
+FROM c"""
+
+
+def oracle_fingerprint() -> str:
+    return f"""
+SELECT doc_id,
+  list_reduce(
+    list_prepend(CAST(0 AS BIGINT),
+      list_transform(regexp_extract_all(lower(text), '{TOKEN_RE}'),
+                     t -> CAST(length(t) * 17 + ascii(t) AS BIGINT))),
+    (acc, x) -> (acc * {FP_MULT} + x) % {FP_MOD}) AS fingerprint
+FROM documents"""

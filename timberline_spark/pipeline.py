@@ -1,0 +1,295 @@
+"""End-to-end pipeline runner: scan -> parse -> enrich -> route -> sinks.
+
+This is the spark-submit surface. It reproduces the reference's continuous
+ingest+analysis flow (CLAUDE.md:27: logs -> parse -> store -> analyze ->
+report) as a resumable batch DAG over date partitions:
+
+- every stage output is a partitioned table (parquet here; the layout and
+  MERGE-like idempotency map 1:1 onto Iceberg ``PARTITIONED BY (days(ts))``
+  when the Iceberg runtime jar is on the classpath — see ``iceberg_ddl``);
+- a ``_lineage`` table keyed by (run_id, stage, partition) records committed
+  work so a rerun skips finished partitions (the reference's analysis_jobs
+  status table, ``ai-analyzer/analyzer/db/models.py:21-40``, generalized to
+  per-partition granularity);
+- a ``_metrics`` table records rows_in/rows_out/invalid per stage per
+  partition (the reference's Prometheus counters,
+  ``log-ingestor/internal/handlers/stream.go:108-158``).
+
+Dynamic partition overwrite makes every write idempotent: re-processing a
+partition replaces it byte-identically (all transforms are deterministic),
+so a crash between "write" and "lineage append" is safe.
+
+Scale notes (the 100 TB story):
+
+- The fan-out computes the classified frame once and writes it as a stage
+  table; the four sinks then read that columnar checkpoint instead of
+  re-parsing raw text four times.
+- Sinks are partitioned by event date -> partition pruning for the daily
+  analysis window (engine.py:84-86).
+- Hot conversations skew the dedup/cluster groupBys; those group on
+  message-derived keys (dedup_key / fingerprint), which are naturally
+  high-cardinality, and AQE skew handling is enabled in session.py. The
+  classified stage table is written with hash distribution on
+  (conv_id, turn_idx) salted into ``spark.sql.shuffle.partitions`` files per
+  date partition, so downstream scans parallelize regardless of conv skew.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import time
+from dataclasses import dataclass, field
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from . import aggregate as agg
+from . import route
+from .enrich import enrich_turns
+from .parse import parse_turns
+from .transcripts import load_transcripts
+
+STAGE_CLASSIFIED = "stage_classified"
+SINKS = ("sink_errors", "sink_tool_calls", "sink_anomalies")
+AGG_TABLES = ("report_buckets", "top_issues", "report_summary")
+
+LINEAGE_SCHEMA = (
+    "run_id string, stage string, partition string, rows bigint,"
+    " committed_at double, status string"
+)
+METRICS_SCHEMA = (
+    "run_id string, stage string, partition string, rows_in bigint,"
+    " rows_out bigint, invalid bigint, elapsed_sec double"
+)
+
+
+@dataclass
+class RunResult:
+    run_id: str
+    partitions_processed: list[str]
+    partitions_skipped: list[str]
+    counts: dict = field(default_factory=dict)
+    elapsed_sec: float = 0.0
+
+
+def _p_date(col):
+    return F.date_format(F.to_timestamp(F.col(col) / 1000.0), "yyyy-MM-dd")
+
+
+def _read_lineage(spark: SparkSession, out_dir: str) -> DataFrame:
+    try:
+        return spark.read.parquet(f"{out_dir}/_lineage")
+    except Exception:
+        return spark.createDataFrame([], LINEAGE_SCHEMA)
+
+
+def _append(spark: SparkSession, out_dir: str, table: str, rows, schema: str):
+    if rows:
+        spark.createDataFrame(rows, schema).coalesce(1).write.mode("append").parquet(
+            f"{out_dir}/{table}"
+        )
+
+
+def run_pipeline(
+    spark: SparkSession,
+    sf_dir: str,
+    out_dir: str,
+    run_id: str,
+    parse_impl: str = "native",
+    replicate: int = 1,
+    max_partitions: int | None = None,
+    input_table: str | None = None,
+) -> RunResult:
+    """Run (or resume) the full pipeline.
+
+    Partition unit = event date. Partitions already committed for this
+    run_id (per the _lineage table) are skipped — that is the
+    resume-from-checkpoint behavior. max_partitions limits work per
+    invocation (used by tests to simulate an interrupted run).
+    """
+    t0 = time.time()
+    if input_table:
+        tr = spark.read.parquet(input_table)
+    else:
+        tr = load_transcripts(spark, sf_dir, replicate=replicate)
+
+    # ---- stage 1: classify (parse+enrich+validate+route flags), checkpoint
+    classified = route.classify_turns(
+        enrich_turns(spark, parse_turns(tr, impl=parse_impl))
+    ).withColumn("p_date", _p_date("effective_ts_ms"))
+
+    lineage = _read_lineage(spark, out_dir)
+    done = {
+        r.partition
+        for r in lineage.filter(
+            (F.col("run_id") == run_id)
+            & (F.col("stage") == STAGE_CLASSIFIED)
+            & (F.col("status") == "committed")
+        )
+        .select("partition")
+        .collect()
+    }
+    # one job yields both the partition list and the per-partition counts
+    # (a separate distinct() would recompute the whole classify DAG)
+    part_stats = {
+        r.p_date: (r.n, r.bad)
+        for r in classified.groupBy("p_date")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.when(~F.col("is_valid"), 1).otherwise(0)).alias("bad"),
+        )
+        .collect()
+    }
+    todo = [p for p in sorted(part_stats) if p not in done]
+    if max_partitions is not None:
+        todo = todo[:max_partitions]
+
+    metrics_rows = []
+    if todo:
+        t_stage = time.time()
+        batch = classified.filter(F.col("p_date").isin(todo))
+        # a few salted files per date partition: enough parallelism for
+        # downstream scans even when one conversation dominates a date,
+        # without exploding the file count (dates x shuffle.partitions)
+        files_per_date = 4
+        (
+            batch.repartition(
+                F.col("p_date"), F.pmod(F.col("conv_num"), F.lit(files_per_date))
+            )
+            .write.mode("overwrite")
+            .partitionBy("p_date")
+            .parquet(f"{out_dir}/{STAGE_CLASSIFIED}")
+        )
+        per_part = {p: part_stats[p] for p in todo}
+        now = time.time()
+        _append(
+            spark,
+            out_dir,
+            "_lineage",
+            [
+                (run_id, STAGE_CLASSIFIED, p, int(per_part.get(p, (0, 0))[0]), now, "committed")
+                for p in todo
+            ],
+            LINEAGE_SCHEMA,
+        )
+        metrics_rows += [
+            (
+                run_id,
+                STAGE_CLASSIFIED,
+                p,
+                int(per_part.get(p, (0, 0))[0]),
+                int(per_part.get(p, (0, 0))[0]),
+                int(per_part.get(p, (0, 0))[1]),
+                now - t_stage,
+            )
+            for p in todo
+        ]
+
+    # ---- stage 2: sink fan-out from the checkpointed stage table ----------
+    stage_df = spark.read.parquet(f"{out_dir}/{STAGE_CLASSIFIED}")
+    counts: dict[str, int] = {}
+    sink_builders = {
+        "sink_errors": route.errors_sink,
+        "sink_tool_calls": route.tool_calls_sink,
+        "sink_anomalies": route.anomalies_sink,
+    }
+    # sink row counts in ONE pass over the stage table (no per-sink
+    # read-back): conditional sums over the routing flags
+    flag_counts = stage_df.agg(
+        F.sum(
+            F.when(F.col("is_valid") & F.col("level").isin("ERROR", "CRITICAL"), 1).otherwise(0)
+        ).alias("sink_errors"),
+        F.sum(
+            F.when(F.col("is_valid") & (F.col("tool") != ""), 1).otherwise(0)
+        ).alias("sink_tool_calls"),
+        F.sum(F.when(~F.col("is_valid"), 1).otherwise(0)).alias("sink_anomalies"),
+    ).collect()[0]
+    for sink, builder in sink_builders.items():
+        t_stage = time.time()
+        out = builder(stage_df).withColumn("run_id", F.lit(run_id)).withColumn(
+            "p_date", _p_date("ts_ms")
+        )
+        out.write.mode("overwrite").partitionBy("p_date").parquet(f"{out_dir}/{sink}")
+        n = int(flag_counts[sink])
+        counts[sink] = n
+        metrics_rows.append((run_id, sink, "*", None, n, None, time.time() - t_stage))
+
+    # ---- stage 3: dedup + report aggregation ------------------------------
+    t_stage = time.time()
+    deduped = agg.dedup_turns(route.kept_turns(stage_df))
+    scored = agg.score_clusters(agg.report_buckets(deduped))
+    scored.withColumn("run_id", F.lit(run_id)).write.mode("overwrite").parquet(
+        f"{out_dir}/report_buckets"
+    )
+    agg.top_issues(scored).withColumn("run_id", F.lit(run_id)).write.mode(
+        "overwrite"
+    ).parquet(f"{out_dir}/top_issues")
+    summary = agg.run_summary(deduped, scored).withColumn("run_id", F.lit(run_id))
+    summary.coalesce(1).write.mode("overwrite").parquet(f"{out_dir}/report_summary")
+    for t in AGG_TABLES:
+        counts[t] = spark.read.parquet(f"{out_dir}/{t}").count()
+    metrics_rows.append(
+        (run_id, "aggregate", "*", None, counts["report_buckets"], None, time.time() - t_stage)
+    )
+    _append(spark, out_dir, "_metrics", metrics_rows, METRICS_SCHEMA)
+
+    return RunResult(
+        run_id=run_id,
+        partitions_processed=todo,
+        partitions_skipped=sorted(done),
+        counts=counts,
+        elapsed_sec=time.time() - t0,
+    )
+
+
+def iceberg_ddl(table: str = "transcripts") -> str:
+    """The Iceberg DDL this layout maps to on a real cluster (S5 analog —
+    log-ingestor/internal/storage/milvus.go:100-179 collection bootstrap)."""
+    return (
+        f"CREATE TABLE IF NOT EXISTS {table} ("
+        " conv_id string, turn_idx int, role string, text string,"
+        " tool string, ts timestamp)"
+        " USING iceberg PARTITIONED BY (days(ts), bucket(64, conv_id))"
+    )
+
+
+def main(argv=None):
+    from .session import get_spark
+
+    ap = argparse.ArgumentParser(description="timberline_spark pipeline runner")
+    ap.add_argument("--sf-dir", default="/root/testdata/sf0.001")
+    ap.add_argument("--out", required=True)
+    ap.add_argument("--run-id", required=True)
+    ap.add_argument("--parse-impl", default="native", choices=["native", "pandas"])
+    ap.add_argument("--replicate", type=int, default=1)
+    ap.add_argument("--max-partitions", type=int, default=None)
+    ap.add_argument("--cores", type=int, default=None)
+    ap.add_argument("--input-table", default=None, help="pre-built transcripts parquet")
+    args = ap.parse_args(argv)
+    spark = get_spark("timberline_pipeline", cores=args.cores)
+    res = run_pipeline(
+        spark,
+        args.sf_dir,
+        args.out,
+        args.run_id,
+        parse_impl=args.parse_impl,
+        replicate=args.replicate,
+        max_partitions=args.max_partitions,
+        input_table=args.input_table,
+    )
+    print(
+        json.dumps(
+            {
+                "run_id": res.run_id,
+                "partitions_processed": res.partitions_processed,
+                "partitions_skipped": res.partitions_skipped,
+                "counts": res.counts,
+                "elapsed_sec": round(res.elapsed_sec, 3),
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

@@ -139,6 +139,27 @@ def q_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_stream_window_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tumbling-window level counts (batch expression of the streaming agg;
+    the true readStream path is exercised in tests/test_streaming.py)."""
+    from .route import classify_turns
+
+    df = classify_turns(enrich_turns(spark, parse_turns(load_transcripts(spark, sf_dir))))
+    return (
+        df.filter(F.col("is_valid"))
+        .groupBy(
+            F.window(F.col("ts").cast("timestamp"), "1 hour").alias("w"),
+            F.col("level"),
+        )
+        .agg(F.count(F.lit(1)).alias("n"))
+        .select(
+            F.unix_millis(F.col("w.start")).alias("window_start_ms"),
+            "level",
+            "n",
+        )
+    )
+
+
 PIPELINE_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "transcripts": q_transcripts,
     "parse": q_parse,
@@ -155,4 +176,43 @@ PIPELINE_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "report_buckets": q_report_buckets,
     "top_issues": q_top_issues,
     "summary": q_summary,
+    "stream_window_counts": q_stream_window_counts,
 }
+
+
+def _extra_registries():
+    """Training-data operators: (queries, oracles). Oracles exist for the
+    SQL-expressible ones; the rest get the driver's rows-only check and are
+    verified against pure-Python oracles in tests/test_extras.py."""
+    from .extras import dedup as dd
+    from .extras import multimodal as mm
+    from .extras import similarity as sim
+    from .extras import textfns as tf
+
+    queries: dict[str, Callable[[SparkSession, str], DataFrame]] = {
+        "doc_token_counts": tf.doc_token_counts,
+        "doc_quality": tf.doc_quality,
+        "doc_lang_id": tf.doc_lang_id,
+        "doc_fingerprint": tf.doc_fingerprint,
+        "doc_exact_dedup": dd.doc_exact_dedup,
+        "doc_jaccard_pairs": lambda s, d: dd.doc_jaccard_pairs(s, d, 0.2),
+        "doc_minhash_lsh_pairs": lambda s, d: dd.doc_minhash_lsh_pairs(s, d, 0.2),
+        "doc_simhash": dd.doc_simhash,
+        "doc_cosine_neardup": lambda s, d: sim.doc_cosine_neardup(s, d, 0.99),
+        "emb_knn_brute": sim.emb_knn_brute,
+        "emb_knn_lsh": sim.emb_knn_lsh,
+        "multimodal_features": lambda s, d: mm.decode_features(mm.attach_binary(s, d)),
+    }
+    oracles: dict[str, str] = {
+        "doc_token_counts": tf.oracle_token_counts(),
+        "doc_quality": tf.oracle_quality(),
+        "doc_lang_id": tf.oracle_lang_id(),
+        "doc_fingerprint": tf.oracle_fingerprint(),
+        "doc_exact_dedup": dd.oracle_exact_dedup(),
+        "doc_jaccard_pairs": dd.oracle_jaccard_pairs(0.2),
+        "emb_knn_brute": sim.oracle_knn_brute(),
+    }
+    return queries, oracles
+
+
+EXTRA_QUERIES, EXTRA_ORACLES = _extra_registries()

@@ -290,6 +290,19 @@ FROM (
     )
 
 
+def q_stream_window_counts(d: Dialect = DUCKDB) -> str:
+    """Tumbling 1h window counts (Spark window() aligns to epoch hours ==
+    date_trunc('hour') for whole-hour windows)."""
+    trunc = (
+        "date_trunc('hour', ts)" if d.name == "duckdb" else "date_trunc('hour', ts)"
+    )
+    return _q(
+        d,
+        f"SELECT {d.epoch_ms(trunc)} AS window_start_ms, level, COUNT(*) AS n"
+        " FROM flagged WHERE is_valid GROUP BY 1, 2",
+    )
+
+
 def q_summary(d: Dialect = DUCKDB) -> str:
     return _q(
         d,
