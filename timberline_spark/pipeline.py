@@ -216,16 +216,18 @@ def run_pipeline(
         metrics_rows.append((run_id, sink, "*", None, n, None, time.time() - t_stage))
 
     # ---- stage 3: dedup + report aggregation ------------------------------
+    # the dedup shuffle runs ONCE: scored buckets are checkpointed, and
+    # top-issues + summary derive from that (tiny) table
     t_stage = time.time()
     deduped = agg.dedup_turns(route.kept_turns(stage_df))
-    scored = agg.score_clusters(agg.report_buckets(deduped))
-    scored.withColumn("run_id", F.lit(run_id)).write.mode("overwrite").parquet(
-        f"{out_dir}/report_buckets"
-    )
+    agg.score_clusters(agg.report_buckets(deduped)).withColumn(
+        "run_id", F.lit(run_id)
+    ).write.mode("overwrite").parquet(f"{out_dir}/report_buckets")
+    scored = spark.read.parquet(f"{out_dir}/report_buckets")
     agg.top_issues(scored).withColumn("run_id", F.lit(run_id)).write.mode(
         "overwrite"
     ).parquet(f"{out_dir}/top_issues")
-    summary = agg.run_summary(deduped, scored).withColumn("run_id", F.lit(run_id))
+    summary = agg.run_summary(scored).withColumn("run_id", F.lit(run_id))
     summary.coalesce(1).write.mode("overwrite").parquet(f"{out_dir}/report_summary")
     for t in AGG_TABLES:
         counts[t] = spark.read.parquet(f"{out_dir}/{t}").count()
@@ -233,6 +235,23 @@ def run_pipeline(
         (run_id, "aggregate", "*", None, counts["report_buckets"], None, time.time() - t_stage)
     )
     _append(spark, out_dir, "_metrics", metrics_rows, METRICS_SCHEMA)
+
+    # S6 analog: single JSON report document (reporting/generator.py:101-131)
+    # — the human-facing daily report; built from the tiny aggregated frames.
+    report_doc = {
+        "run_id": run_id,
+        "summary": {
+            k: v for k, v in summary.collect()[0].asDict().items() if k != "run_id"
+        },
+        "top_issues": [
+            {k: v for k, v in r.asDict().items() if k != "run_id"}
+            for r in spark.read.parquet(f"{out_dir}/top_issues")
+            .orderBy("rank")
+            .collect()
+        ],
+    }
+    with open(f"{out_dir}/daily_analysis_{run_id}.json", "w") as fh:
+        json.dump(report_doc, fh, indent=2, default=str)
 
     return RunResult(
         run_id=run_id,

@@ -126,7 +126,7 @@ def q_top_issues(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = agg.dedup_turns(route.kept_turns(_classified(spark, sf_dir)))
     scored = agg.score_clusters(agg.report_buckets(d))
-    return agg.run_summary(d, scored).select(
+    return agg.run_summary(scored).select(
         "total_logs_processed",
         "error_count",
         "warning_count",
@@ -136,6 +136,90 @@ def q_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
         "clusters_found",
         "actionable_count",
         "top_issues_count",
+    )
+
+
+def q_recent_logs(spark: SparkSession, sf_dir: str, n: int = 1000) -> DataFrame:
+    """W1: global recency sort + cap (milvus_client.py:151-154, max_logs
+    truncation) — deterministic tie-breaks so the cut is stable."""
+    kept = route.kept_turns(_classified(spark, sf_dir))
+    return (
+        kept.orderBy(
+            F.col("effective_ts_ms").desc(), F.col("conv_id"), F.col("turn_idx")
+        )
+        .limit(n)
+        .select(
+            "conv_id", "turn_idx", "level", "service", "message",
+            F.col("effective_ts_ms").alias("ts_ms"),
+        )
+    )
+
+
+def q_label_canon(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P15/P16: label map extraction + canonical sorted `k=v|...` key
+    (milvus_client.py:351-386). Labels here are the turn's dimensional
+    attrs; empty map -> 'no-labels'."""
+    df = _classified(spark, sf_dir).filter(F.col("is_valid"))
+    labels = F.map_filter(
+        F.create_map(
+            F.lit("service"), F.col("service"),
+            F.lit("role"), F.col("role"),
+            F.lit("tool"), F.col("tool"),
+        ),
+        lambda k, v: v.isNotNull() & (v != ""),
+    )
+    canon = F.concat_ws(
+        "|",
+        F.sort_array(
+            F.transform(
+                F.map_entries(labels), lambda e: F.concat(e["key"], F.lit("="), e["value"])
+            )
+        ),
+    )
+    return df.select(
+        "conv_id",
+        "turn_idx",
+        F.when(F.size(F.map_entries(labels)) == 0, "no-labels")
+        .otherwise(canon)
+        .alias("label_key"),
+    )
+
+
+def q_common_labels(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A6: per-cluster label intersection — (k, v) pairs present with equal
+    value in EVERY row of the cluster (models/log.py:157-175), via
+    explode -> group -> count == cluster_size (no per-row Python)."""
+    kept = route.kept_turns(_classified(spark, sf_dir))
+    d = agg.dedup_turns(kept)
+    d = d.withColumn(
+        "fingerprint", agg.cluster_fingerprint(F.col("message"), F.col("level"))
+    )
+    labels = F.create_map(
+        F.lit("service"), F.col("service"), F.lit("level"), F.col("level")
+    )
+    sizes = d.groupBy("fingerprint").agg(F.count(F.lit(1)).alias("cluster_size"))
+    kv = d.select("fingerprint", F.explode(labels).alias("k", "v"))
+    counts = kv.groupBy("fingerprint", "k", "v").agg(F.count(F.lit(1)).alias("n"))
+    return (
+        counts.join(sizes, "fingerprint")
+        .filter(F.col("n") == F.col("cluster_size"))
+        .select("fingerprint", "k", "v")
+    )
+
+
+def q_flexible_ts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P5/P6: the flexible-timestamp parse applied to the plain-grammar ts
+    strings plus numeric epoch strings derived from the row ts."""
+    from .parse import RE_PLAIN, flexible_ts_ms
+
+    tr = load_transcripts(spark, sf_dir)
+    ts_str = F.regexp_extract("text", RE_PLAIN, 1)
+    as_num_s = F.unix_seconds(F.col("ts").cast("timestamp")).cast("string")
+    return tr.select(
+        "conv_id",
+        "turn_idx",
+        flexible_ts_ms(F.when(ts_str != "", ts_str)).alias("text_ts_ms"),
+        flexible_ts_ms(as_num_s).alias("num_ts_ms"),
     )
 
 
@@ -177,6 +261,10 @@ PIPELINE_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "top_issues": q_top_issues,
     "summary": q_summary,
     "stream_window_counts": q_stream_window_counts,
+    "recent_logs": q_recent_logs,
+    "label_canon": q_label_canon,
+    "common_labels": q_common_labels,
+    "flexible_ts": q_flexible_ts,
 }
 
 

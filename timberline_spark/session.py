@@ -37,6 +37,10 @@ def get_spark(
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.execution.arrow.maxRecordsPerBatch", "10000")
+        # Keep the local-mode heap moderate: heaps >16g on this box trigger
+        # kernel page-fault storms during heap expansion (90%+ system CPU,
+        # 10-50x stalls) — measured in BENCH.md. 8g is ample: the pipeline
+        # streams through Tungsten memory; nothing driver-side is O(data).
         .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEM", "8g"))
         .config("spark.ui.enabled", "false")
         .config("spark.sql.sources.partitionOverwriteMode", "dynamic")

@@ -132,7 +132,7 @@ WITH tr AS (
 ), buckets AS (
   SELECT fingerprint,
          CAST(n_unique AS BIGINT) AS n_unique,
-         total_log_count, error_count,
+         total_log_count, error_count, warning_count,
          CAST(n_sources AS BIGINT) AS n_sources,
          cluster_first_ts_ms AS first_ts_ms, cluster_last_ts_ms AS last_ts_ms,
          level AS rep_level,
@@ -147,14 +147,16 @@ WITH tr AS (
       CAST(SUM(duplicate_count) OVER (PARTITION BY fingerprint) AS BIGINT) AS total_log_count,
       CAST(SUM(CASE WHEN is_error THEN duplicate_count ELSE 0 END)
         OVER (PARTITION BY fingerprint) AS BIGINT) AS error_count,
+      CAST(SUM(CASE WHEN is_warning THEN duplicate_count ELSE 0 END)
+        OVER (PARTITION BY fingerprint) AS BIGINT) AS warning_count,
       COUNT(DISTINCT service) OVER (PARTITION BY fingerprint) AS n_sources,
       MIN(first_ts_ms) OVER (PARTITION BY fingerprint) AS cluster_first_ts_ms,
       MAX(last_ts_ms) OVER (PARTITION BY fingerprint) AS cluster_last_ts_ms
     FROM (
-      SELECT d.*,
-        d.level || '|' || regexp_replace(LOWER(d.message), '[0-9]+', '#'{", 'g'" if d.name == "duckdb" else ""}) AS fingerprint,
-        {_level_priority_sql("d.level")} AS level_priority
-      FROM dedup d
+      SELECT dd.*,
+        dd.level || '|' || regexp_replace(LOWER(dd.message), '[0-9]+', '#'{", 'g'" if d.name == "duckdb" else ""}) AS fingerprint,
+        {_level_priority_sql("dd.level")} AS level_priority
+      FROM dedup dd
     ) f
   ) g WHERE rn2 = 1
 ), scored AS (
@@ -272,7 +274,7 @@ def q_report_buckets(d: Dialect = DUCKDB) -> str:
     return _q(
         d,
         "SELECT fingerprint, n_unique, total_log_count, error_count,"
-        " n_sources, first_ts_ms, last_ts_ms, rep_level,"
+        " warning_count, n_sources, first_ts_ms, last_ts_ms, rep_level,"
         " representative_message FROM buckets",
     )
 
@@ -300,6 +302,73 @@ def q_stream_window_counts(d: Dialect = DUCKDB) -> str:
         d,
         f"SELECT {d.epoch_ms(trunc)} AS window_start_ms, level, COUNT(*) AS n"
         " FROM flagged WHERE is_valid GROUP BY 1, 2",
+    )
+
+
+def q_flexible_ts(d: Dialect = DUCKDB) -> str:
+    """Oracle for the flexible-timestamp parse on this corpus's surfaces:
+    the plain-grammar ts string and a numeric epoch-seconds string (the
+    seconds-vs-millis heuristic multiplies by 1000)."""
+    if d.name == "duckdb":
+        txt = (
+            "epoch_ms(try_strptime(NULLIF(regexp_extract(text,"
+            f" '{_re(d, RE_PLAIN)}', 1), ''), '%Y-%m-%d %H:%M:%S'))"
+        )
+        num = "CAST(floor(epoch(ts)) AS BIGINT) * 1000"
+    else:
+        txt = (
+            "unix_millis(try_to_timestamp(NULLIF(regexp_extract(text,"
+            f" '{_re(d, RE_PLAIN)}', 1), ''), 'yyyy-MM-dd HH:mm:ss'))"
+        )
+        num = "unix_seconds(cast(ts as timestamp)) * 1000"
+    return _q(
+        d,
+        f"SELECT conv_id, turn_idx, {txt} AS text_ts_ms, {num} AS num_ts_ms FROM tr",
+    )
+
+
+def q_recent_logs(d: Dialect = DUCKDB, n: int = 1000) -> str:
+    return _q(
+        d,
+        "SELECT conv_id, turn_idx, level, service, message,"
+        " effective_ts_ms AS ts_ms FROM kept"
+        f" ORDER BY effective_ts_ms DESC, conv_id, turn_idx LIMIT {n}",
+    )
+
+
+def q_label_canon(d: Dialect = DUCKDB) -> str:
+    # fixed label keys -> the canonical sorted k=v join is spelled directly
+    # (independent formulation of the same semantics)
+    return _q(
+        d,
+        "SELECT conv_id, turn_idx,"
+        " CASE WHEN tool <> '' THEN 'role=' || role || '|service=' || service"
+        "           || '|tool=' || tool"
+        "      ELSE 'role=' || role || '|service=' || service END AS label_key"
+        " FROM flagged WHERE is_valid",
+    )
+
+
+def q_common_labels(d: Dialect = DUCKDB) -> str:
+    g = ", 'g'" if d.name == "duckdb" else ""
+    fp = (
+        "SELECT level || '|' || regexp_replace(LOWER(message), '[0-9]+', '#'"
+        + g
+        + ") AS fingerprint, service, level FROM dedup"
+    )
+    return _q(
+        d,
+        f"""SELECT kv.fingerprint, kv.k, kv.v
+FROM (
+  SELECT fingerprint, 'service' AS k, service AS v FROM ({fp}) a
+  UNION ALL
+  SELECT fingerprint, 'level' AS k, level AS v FROM ({fp}) b
+) kv
+JOIN (
+  SELECT fingerprint, COUNT(*) AS n FROM ({fp}) c GROUP BY fingerprint
+) sz ON kv.fingerprint = sz.fingerprint
+GROUP BY kv.fingerprint, kv.k, kv.v, sz.n
+HAVING COUNT(*) = sz.n""",
     )
 
 
