@@ -170,6 +170,29 @@ def test_knn_lsh_recall_vs_brute(spark):
     assert recall >= 0.25, recall
 
 
+def test_centroid_rep_matches_numpy(spark):
+    """A7 representative-by-centroid vs a direct numpy computation."""
+    import numpy as np
+
+    rows = spark.read.parquet(f"{SF_TINY}/embeddings.parquet").collect()
+    by_label = {}
+    for r in rows:
+        by_label.setdefault(r.label, []).append((r.vec_id, np.array(r.embedding, dtype=np.float64)))
+    expected = {}
+    for label, vs in by_label.items():
+        cent = np.mean([v for _, v in vs], axis=0)
+        best = max(
+            vs,
+            key=lambda p: (
+                round(float(np.dot(p[1], cent) / (np.linalg.norm(p[1]) * np.linalg.norm(cent))), 4),
+                -p[0],
+            ),
+        )
+        expected[label] = best[0]
+    got = {r.label: r.rep_vec_id for r in sim.emb_centroid_rep(spark, SF_TINY).collect()}
+    assert got == expected
+
+
 def test_embed_texts_deterministic_and_normalized(spark):
     df = spark.read.parquet(f"{SF_TINY}/documents.parquet").limit(10)
     out1 = df.select("doc_id", sim.embed_texts("text").alias("e")).collect()

@@ -191,6 +191,40 @@ def emb_knn_lsh(
     )
 
 
+def emb_centroid_rep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A7: representative-by-centroid (milvus_client.py:297-329) — per label
+    cluster, the vector nearest the mean embedding.
+
+    All JVM-side: posexplode -> per-dimension mean -> reassemble centroid ->
+    broadcast join -> cosine -> top-1 per cluster. At corpus scale the
+    per-dimension mean is a combinable hash aggregate on (label, pos)."""
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    pos = emb.select("label", F.posexplode("embedding").alias("pos", "v"))
+    centroid = (
+        pos.groupBy("label", "pos")
+        .agg(F.avg("v").alias("cv"))
+        .groupBy("label")
+        .agg(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("pos", "cv"))), lambda x: x["cv"]
+            ).alias("centroid")
+        )
+    )
+    scored = emb.join(F.broadcast(centroid), "label").select(
+        "label",
+        "vec_id",
+        _cosine(F.col("embedding"), F.col("centroid")).alias("cos_to_centroid"),
+    )
+    w = Window.partitionBy("label").orderBy(
+        F.col("cos_to_centroid").desc(), F.col("vec_id")
+    )
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("label", F.col("vec_id").alias("rep_vec_id"), "cos_to_centroid")
+    )
+
+
 # ---- embedding surrogate (pandas UDF) ---------------------------------------
 
 

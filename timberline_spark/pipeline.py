@@ -78,10 +78,11 @@ def _p_date(col):
 
 
 def _read_lineage(spark: SparkSession, out_dir: str) -> DataFrame:
-    try:
-        return spark.read.parquet(f"{out_dir}/_lineage")
-    except Exception:
+    import os
+
+    if not os.path.isdir(f"{out_dir}/_lineage"):
         return spark.createDataFrame([], LINEAGE_SCHEMA)
+    return spark.read.parquet(f"{out_dir}/_lineage")
 
 
 def _append(spark: SparkSession, out_dir: str, table: str, rows, schema: str):
@@ -115,9 +116,22 @@ def run_pipeline(
         tr = load_transcripts(spark, sf_dir, replicate=replicate)
 
     # ---- stage 1: classify (parse+enrich+validate+route flags), checkpoint
-    classified = route.classify_turns(
-        enrich_turns(spark, parse_turns(tr, impl=parse_impl))
-    ).withColumn("p_date", _p_date("effective_ts_ms"))
+    # The checkpoint drops the raw text + parse intermediates: the stage
+    # table is the PARSED representation (what every downstream consumer
+    # needs), which roughly halves the parquet-encode and shuffle bytes.
+    # The raw text stays addressable in the source table by (conv_id,
+    # turn_idx).
+    stage_cols = [
+        "conv_id", "turn_idx", "role", "tool", "tool_category", "is_sensitive",
+        "ts", "service", "message", "level", "severity", "severity_score",
+        "is_error", "is_warning", "effective_ts_ms", "anomaly_reason",
+        "is_valid", "keep_level", "keep_sampled", "kept", "conv_num",
+    ]
+    classified = (
+        route.classify_turns(enrich_turns(spark, parse_turns(tr, impl=parse_impl)))
+        .select(*stage_cols)
+        .withColumn("p_date", _p_date("effective_ts_ms"))
+    )
 
     lineage = _read_lineage(spark, out_dir)
     done = {
@@ -130,29 +144,29 @@ def run_pipeline(
         .select("partition")
         .collect()
     }
-    # one job yields both the partition list and the per-partition counts
-    # (a separate distinct() would recompute the whole classify DAG)
-    part_stats = {
-        r.p_date: (r.n, r.bad)
-        for r in classified.groupBy("p_date")
-        .agg(
-            F.count(F.lit(1)).alias("n"),
-            F.sum(F.when(~F.col("is_valid"), 1).otherwise(0)).alias("bad"),
-        )
-        .collect()
-    }
-    todo = [p for p in sorted(part_stats) if p not in done]
+    # The todo list normally comes from the written table afterwards (no
+    # extra pass over the raw input). Only max_partitions (test hook for
+    # simulating interruption) needs the partition list up front.
+    pre_todo = None
     if max_partitions is not None:
-        todo = todo[:max_partitions]
+        all_parts = sorted(
+            r.p_date for r in classified.select("p_date").distinct().collect()
+        )
+        pre_todo = [p for p in all_parts if p not in done][:max_partitions]
 
     metrics_rows = []
-    if todo:
-        t_stage = time.time()
-        batch = classified.filter(F.col("p_date").isin(todo))
-        # a few salted files per date partition: enough parallelism for
-        # downstream scans even when one conversation dominates a date,
-        # without exploding the file count (dates x shuffle.partitions)
-        files_per_date = 4
+    t_stage = time.time()
+    batch = classified
+    if pre_todo is not None:
+        batch = batch.filter(F.col("p_date").isin(pre_todo))
+    elif done:
+        batch = batch.filter(~F.col("p_date").isin(sorted(done)))
+    # a few salted files per date partition: enough parallelism for
+    # downstream scans even when one conversation dominates a date,
+    # without exploding the file count (dates x shuffle.partitions)
+    files_per_date = 4
+    wrote = pre_todo is None or bool(pre_todo)
+    if wrote:
         (
             batch.repartition(
                 F.col("p_date"), F.pmod(F.col("conv_num"), F.lit(files_per_date))
@@ -161,7 +175,21 @@ def run_pipeline(
             .partitionBy("p_date")
             .parquet(f"{out_dir}/{STAGE_CLASSIFIED}")
         )
-        per_part = {p: part_stats[p] for p in todo}
+    # per-partition counts from the written table: columnar read of just
+    # (p_date, is_valid) — cheap, and it reflects exactly what committed
+    per_part_rows = (
+        spark.read.parquet(f"{out_dir}/{STAGE_CLASSIFIED}")
+        .select(F.col("p_date").cast("string").alias("p_date"), "is_valid")
+        .groupBy("p_date")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.when(~F.col("is_valid"), 1).otherwise(0)).alias("bad"),
+        )
+        .collect()
+    )
+    per_part = {r.p_date: (r.n, r.bad) for r in per_part_rows if r.p_date not in done}
+    todo = sorted(per_part) if pre_todo is None else pre_todo
+    if todo:
         now = time.time()
         _append(
             spark,

@@ -289,6 +289,7 @@ def _extra_registries():
         "doc_cosine_neardup": lambda s, d: sim.doc_cosine_neardup(s, d, 0.99),
         "emb_knn_brute": sim.emb_knn_brute,
         "emb_knn_lsh": sim.emb_knn_lsh,
+        "emb_centroid_rep": sim.emb_centroid_rep,
         "multimodal_features": lambda s, d: mm.decode_features(mm.attach_binary(s, d)),
     }
     oracles: dict[str, str] = {
