@@ -27,7 +27,7 @@ Reference semantics re-expressed as single-shuffle Spark plans:
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, Window
+from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from .dicts import LEVEL_META, SEVERITY_BUCKETS
@@ -177,16 +177,47 @@ def score_clusters(buckets: DataFrame) -> DataFrame:
 
 
 def top_issues(scored: DataFrame, n: int = TOP_ISSUES_N) -> DataFrame:
-    """Top-N actionable clusters (W3) with deterministic tie-breaks."""
-    w = Window.orderBy(
+    """Top-N actionable clusters (W3) with deterministic tie-breaks.
+
+    orderBy().limit(n) plans TakeOrderedAndProject — a parallel partial
+    top-k per partition, merged on the driver — instead of a global
+    no-partition window (which would sort the whole cluster table in one
+    task at 100x the cluster count; the source of the "No Partition
+    Defined" warnings in round 1). Rank over the <= n survivors is then a
+    broadcast count-of-strictly-smaller self-join (the sort keys are a
+    strict total order, so this equals row_number), which keeps the plan
+    window-free.
+    """
+    keys = [
         F.col("cluster_score").desc(),
         F.col("total_log_count").desc(),
         F.col("fingerprint"),
+    ]
+    # ascending struct comparison == the desired (desc, desc, asc) order
+    sort_key = F.struct(
+        (-F.col("cluster_score")).alias("k1"),
+        (-F.col("total_log_count")).alias("k2"),
+        F.col("fingerprint").alias("k3"),
     )
-    return (
+    top = (
         scored.filter(F.col("actionable"))
-        .withColumn("rank", F.row_number().over(w))
-        .filter(F.col("rank") <= n)
+        .orderBy(*keys)
+        .limit(n)
+        .withColumn("_key", sort_key)
+    )
+    others = top.select(F.col("_key").alias("_other_key"))
+    return (
+        top.join(F.broadcast(others), F.col("_other_key") < F.col("_key"), "left")
+        .groupBy(
+            "_key",
+            "fingerprint",
+            "cluster_severity",
+            "cluster_score",
+            "total_log_count",
+            "error_count",
+            "representative_message",
+        )
+        .agg((F.count("_other_key") + 1).cast("int").alias("rank"))
         .select(
             "rank",
             "fingerprint",

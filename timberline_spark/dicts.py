@@ -31,7 +31,9 @@ from pyspark.sql import DataFrame, SparkSession
 
 # -- deterministic "now" (reference snapshot date, UTC) ----------------------
 REF_NOW_MS = 1_767_916_800_000  # 2026-01-09T00:00:00Z
-TS_LOW_MS = 1_452_297_600_000  # 2016-01-09T00:00:00Z  (now - 10y)
+# the reference's lower bound is now - 10*365 DAYS (log.go:54), not a
+# calendar decade — 3650 days from the pinned now lands on 2016-01-12
+TS_LOW_MS = REF_NOW_MS - 10 * 365 * 24 * 3_600_000  # 2016-01-12T00:00:00Z
 TS_HIGH_MS = REF_NOW_MS + 3_600_000  # now + 1h
 
 # -- deterministic sampling (INFO/DEBUG kept at 10%) -------------------------
@@ -43,9 +45,12 @@ HASH_P = 1_000_003
 # SQL expression fragment (valid in both Spark SQL and DuckDB) computing the
 # per-turn sampling hash in [0, 100). conv_num must be a BIGINT expression.
 def hash100_sql(conv_num_expr: str, turn_idx_expr: str) -> str:
+    # conv_num % HASH_P first: identical value by mod arithmetic, but the
+    # intermediate product stays < 2^63 for conv_num up to the replicate
+    # stride (ANSI mode would error on a bare conv_num * HASH_A overflow)
     return (
-        f"(({conv_num_expr} * {HASH_A} + CAST({turn_idx_expr} AS BIGINT) * {HASH_B})"
-        f" % {HASH_P}) % 100"
+        f"((({conv_num_expr} % {HASH_P}) * {HASH_A}"
+        f" + CAST({turn_idx_expr} AS BIGINT) * {HASH_B}) % {HASH_P}) % 100"
     )
 
 

@@ -110,6 +110,9 @@ def run_pipeline(
     invocation (used by tests to simulate an interrupted run).
     """
     t0 = time.time()
+    # resume correctness depends on dynamic partition overwrite: with the
+    # static default, re-writing one date partition would truncate the rest
+    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
     if input_table:
         tr = spark.read.parquet(input_table)
     else:
@@ -133,17 +136,22 @@ def run_pipeline(
         .withColumn("p_date", _p_date("effective_ts_ms"))
     )
 
-    lineage = _read_lineage(spark, out_dir)
-    done = {
-        r.partition
-        for r in lineage.filter(
-            (F.col("run_id") == run_id)
-            & (F.col("stage") == STAGE_CLASSIFIED)
-            & (F.col("status") == "committed")
-        )
-        .select("partition")
-        .collect()
-    }
+    import os
+
+    if os.path.isdir(f"{out_dir}/_lineage"):
+        done = {
+            r.partition
+            for r in _read_lineage(spark, out_dir)
+            .filter(
+                (F.col("run_id") == run_id)
+                & (F.col("stage") == STAGE_CLASSIFIED)
+                & (F.col("status") == "committed")
+            )
+            .select("partition")
+            .collect()
+        }
+    else:  # fresh out_dir: no Spark job needed to learn there's no lineage
+        done: set[str] = set()
     # The todo list normally comes from the written table afterwards (no
     # extra pass over the raw input). Only max_partitions (test hook for
     # simulating interruption) needs the partition list up front.
@@ -175,18 +183,49 @@ def run_pipeline(
             .partitionBy("p_date")
             .parquet(f"{out_dir}/{STAGE_CLASSIFIED}")
         )
-    # per-partition counts from the written table: columnar read of just
-    # (p_date, is_valid) — cheap, and it reflects exactly what committed
+    # per-partition counts AND the per-sink totals from the written table in
+    # ONE columnar pass (p_date, is_valid, level, tool only) — this replaces
+    # what used to be two separate full scans (a per-date groupBy and a
+    # global flag aggregate); the sink totals are summed client-side from
+    # the per-date rows (dates are few)
     per_part_rows = (
         spark.read.parquet(f"{out_dir}/{STAGE_CLASSIFIED}")
-        .select(F.col("p_date").cast("string").alias("p_date"), "is_valid")
+        .select(
+            F.col("p_date").cast("string").alias("p_date"),
+            "is_valid",
+            "level",
+            "tool",
+        )
         .groupBy("p_date")
         .agg(
             F.count(F.lit(1)).alias("n"),
-            F.sum(F.when(~F.col("is_valid"), 1).otherwise(0)).alias("bad"),
+            F.coalesce(
+                F.sum(F.when(~F.col("is_valid"), 1).otherwise(0)), F.lit(0)
+            ).alias("bad"),
+            F.coalesce(
+                F.sum(
+                    F.when(
+                        F.col("is_valid")
+                        & F.col("level").isin("ERROR", "CRITICAL"),
+                        1,
+                    ).otherwise(0)
+                ),
+                F.lit(0),
+            ).alias("n_err"),
+            F.coalesce(
+                F.sum(
+                    F.when(F.col("is_valid") & (F.col("tool") != ""), 1).otherwise(0)
+                ),
+                F.lit(0),
+            ).alias("n_tool"),
         )
         .collect()
     )
+    flag_counts = {
+        "sink_errors": sum(r.n_err for r in per_part_rows),
+        "sink_tool_calls": sum(r.n_tool for r in per_part_rows),
+        "sink_anomalies": sum(r.bad for r in per_part_rows),
+    }
     per_part = {r.p_date: (r.n, r.bad) for r in per_part_rows if r.p_date not in done}
     todo = sorted(per_part) if pre_todo is None else pre_todo
     if todo:
@@ -222,17 +261,6 @@ def run_pipeline(
         "sink_tool_calls": route.tool_calls_sink,
         "sink_anomalies": route.anomalies_sink,
     }
-    # sink row counts in ONE pass over the stage table (no per-sink
-    # read-back): conditional sums over the routing flags
-    flag_counts = stage_df.agg(
-        F.sum(
-            F.when(F.col("is_valid") & F.col("level").isin("ERROR", "CRITICAL"), 1).otherwise(0)
-        ).alias("sink_errors"),
-        F.sum(
-            F.when(F.col("is_valid") & (F.col("tool") != ""), 1).otherwise(0)
-        ).alias("sink_tool_calls"),
-        F.sum(F.when(~F.col("is_valid"), 1).otherwise(0)).alias("sink_anomalies"),
-    ).collect()[0]
     for sink, builder in sink_builders.items():
         t_stage = time.time()
         out = builder(stage_df).withColumn("run_id", F.lit(run_id)).withColumn(
@@ -244,39 +272,42 @@ def run_pipeline(
         metrics_rows.append((run_id, sink, "*", None, n, None, time.time() - t_stage))
 
     # ---- stage 3: dedup + report aggregation ------------------------------
-    # the dedup shuffle runs ONCE: scored buckets are checkpointed, and
-    # top-issues + summary derive from that (tiny) table
+    # the dedup shuffle runs ONCE: scored buckets are persisted in memory
+    # while being written, and top-issues + summary + the JSON report doc
+    # all derive from the cached frame — no parquet read-backs, no extra
+    # .count() jobs (clusters_found comes out of the summary row). The
+    # serial driver tail here is 3 small jobs regardless of data size.
     t_stage = time.time()
     deduped = agg.dedup_turns(route.kept_turns(stage_df))
-    agg.score_clusters(agg.report_buckets(deduped)).withColumn(
+    scored = agg.score_clusters(agg.report_buckets(deduped)).persist()
+    scored.withColumn("run_id", F.lit(run_id)).write.mode("overwrite").parquet(
+        f"{out_dir}/report_buckets"
+    )
+    top = agg.top_issues(scored)
+    top_rows = top.collect()  # <= TOP_ISSUES_N rows by construction
+    spark.createDataFrame(top_rows, top.schema).withColumn(
         "run_id", F.lit(run_id)
-    ).write.mode("overwrite").parquet(f"{out_dir}/report_buckets")
-    scored = spark.read.parquet(f"{out_dir}/report_buckets")
-    agg.top_issues(scored).withColumn("run_id", F.lit(run_id)).write.mode(
-        "overwrite"
-    ).parquet(f"{out_dir}/top_issues")
-    summary = agg.run_summary(scored).withColumn("run_id", F.lit(run_id))
-    summary.coalesce(1).write.mode("overwrite").parquet(f"{out_dir}/report_summary")
-    for t in AGG_TABLES:
-        counts[t] = spark.read.parquet(f"{out_dir}/{t}").count()
+    ).coalesce(1).write.mode("overwrite").parquet(f"{out_dir}/top_issues")
+    summary_df = agg.run_summary(scored)
+    summary_row = summary_df.collect()[0]
+    spark.createDataFrame([summary_row], summary_df.schema).withColumn(
+        "run_id", F.lit(run_id)
+    ).coalesce(1).write.mode("overwrite").parquet(f"{out_dir}/report_summary")
+    scored.unpersist()
+    counts["report_buckets"] = int(summary_row["clusters_found"])
+    counts["top_issues"] = len(top_rows)
+    counts["report_summary"] = 1
     metrics_rows.append(
         (run_id, "aggregate", "*", None, counts["report_buckets"], None, time.time() - t_stage)
     )
     _append(spark, out_dir, "_metrics", metrics_rows, METRICS_SCHEMA)
 
     # S6 analog: single JSON report document (reporting/generator.py:101-131)
-    # — the human-facing daily report; built from the tiny aggregated frames.
+    # — the human-facing daily report; built from the already-collected rows.
     report_doc = {
         "run_id": run_id,
-        "summary": {
-            k: v for k, v in summary.collect()[0].asDict().items() if k != "run_id"
-        },
-        "top_issues": [
-            {k: v for k, v in r.asDict().items() if k != "run_id"}
-            for r in spark.read.parquet(f"{out_dir}/top_issues")
-            .orderBy("rank")
-            .collect()
-        ],
+        "summary": summary_row.asDict(),
+        "top_issues": [r.asDict() for r in sorted(top_rows, key=lambda r: r["rank"])],
     }
     with open(f"{out_dir}/daily_analysis_{run_id}.json", "w") as fh:
         json.dump(report_doc, fh, indent=2, default=str)

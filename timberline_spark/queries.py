@@ -290,7 +290,14 @@ def _extra_registries():
         "emb_knn_brute": sim.emb_knn_brute,
         "emb_knn_lsh": sim.emb_knn_lsh,
         "emb_centroid_rep": sim.emb_centroid_rep,
-        "multimodal_features": lambda s, d: mm.decode_features(mm.attach_binary(s, d)),
+        # features serialized to JSON: the driver's canonicalizer sorts/hashes
+        # cell values and cannot handle list cells (array<float> stays the
+        # library-level API; the registered check uses the scalar view)
+        "multimodal_features": lambda s, d: mm.decode_features(
+            mm.attach_binary(s, d)
+        ).withColumn("features", F.to_json("features")),
+        "multimodal_frames": lambda s, d: mm.frame_sample(mm.attach_binary(s, d))
+        .withColumn("frame", F.base64("frame")),
     }
     oracles: dict[str, str] = {
         "doc_token_counts": tf.oracle_token_counts(),

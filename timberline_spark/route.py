@@ -41,9 +41,14 @@ ANOMALY_REASONS = ("empty_text", "unparseable_ts", "invalid_bounds", "unknown_le
 
 
 def hash100(conv_num: Column, turn_idx: Column) -> Column:
-    """Deterministic per-turn hash in [0, 100) — pure BIGINT arithmetic."""
+    """Deterministic per-turn hash in [0, 100) — pure BIGINT arithmetic.
+
+    conv_num is reduced mod HASH_P before the multiply (same value by mod
+    arithmetic) so the product can't overflow long for replicated bench
+    conv_id spaces (transcripts.REPLICA_STRIDE)."""
     return (
-        (conv_num * F.lit(HASH_A) + turn_idx.cast("long") * F.lit(HASH_B))
+        ((conv_num % F.lit(HASH_P)) * F.lit(HASH_A)
+         + turn_idx.cast("long") * F.lit(HASH_B))
         % F.lit(HASH_P)
     ) % 100
 

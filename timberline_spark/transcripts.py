@@ -68,6 +68,12 @@ class Dialect:
 SPARK = Dialect("spark", "STRING")
 DUCKDB = Dialect("duckdb", "VARCHAR")
 
+# bench-replica conv_id offset: must exceed any source user_id so replica
+# conv_id spaces stay disjoint (the scaling bench and dedup determinism rely
+# on that). 10^10 >> any seeded user_id; hash100 reduces mod HASH_P before
+# multiplying, so the larger conv_num cannot overflow.
+REPLICA_STRIDE = 10_000_000_000
+
 
 def transcripts_sql(d: Dialect, events_rel: str = "events") -> str:
     """SELECT producing the transcripts table from `events`, dialect-neutral."""
@@ -150,7 +156,7 @@ def load_transcripts(spark: SparkSession, sf_dir: str, replicate: int = 1) -> Da
     """Derive the transcripts DataFrame from `<sf_dir>/events.parquet`.
 
     replicate > 1 scales the table for bench runs: each replica gets a
-    disjoint conv_id space (user_id + k*1_000_000), keeping the table
+    disjoint conv_id space (user_id + k*REPLICA_STRIDE), keeping the table
     deterministic and the key distribution realistic (hot conversations
     remain hot within each replica).
     """
@@ -166,7 +172,11 @@ def load_transcripts(spark: SparkSession, sf_dir: str, replicate: int = 1) -> Da
                 F.concat(
                     F.lit("conv-"),
                     F.lpad(
-                        (base_num + F.col("rep") * 1_000_000).cast("string"), 9, "0"
+                        (base_num + F.col("rep") * F.lit(REPLICA_STRIDE)).cast(
+                            "string"
+                        ),
+                        12,
+                        "0",
                     ),
                 ),
             )
