@@ -4,9 +4,6 @@ oracles otherwise."""
 
 from __future__ import annotations
 
-import re
-import zlib
-
 import pytest
 from pyspark.sql import functions as F
 
@@ -14,6 +11,7 @@ from timberline_spark.extras import dedup as dd
 from timberline_spark.extras import multimodal as mm
 from timberline_spark.extras import similarity as sim
 from timberline_spark.extras import textfns as tf
+from timberline_spark.extras import xhash as xh
 
 from .conftest import SF_TINY, assert_frames_equal
 
@@ -88,13 +86,10 @@ def test_minhash_matches_python_oracle(spark):
         .collect()
     }
     for r in rows:
-        toks = re.findall("[a-z0-9]+", docs[r.doc_id].lower())
-        shingles = set(" ".join(toks[i : i + 3]) for i in range(len(toks) - 2))
+        shingles = xh.py_shingle_hashes(docs[r.doc_id])
         for j, got in enumerate(r.minhash):
             a, b = dd._perm_coeffs(j)
-            exp = min(
-                (zlib.crc32(x.encode()) * a + b) % dd.MINHASH_P for x in shingles
-            )
+            exp = min((x * a + b) % dd.MINHASH_P for x in shingles)
             assert got == exp
 
 
@@ -115,10 +110,8 @@ def test_simhash_matches_python_oracle(spark):
         .collect()
     }
     for r in rows:
-        toks = re.findall("[a-z0-9]+", docs[r.doc_id].lower())
         v = [0] * 32
-        for t in toks:
-            h = zlib.crc32(t.encode())
+        for h in map(xh.py_mix32, xh.py_token_hashes(docs[r.doc_id])):
             for i in range(32):
                 v[i] += 1 if (h >> i) & 1 else -1
         exp = sum(1 << i for i in range(32) if v[i] > 0)
@@ -219,6 +212,36 @@ def test_doc_cosine_neardup_finds_exact_dups(spark):
     for grp in dups:
         ids = sorted(grp.ids)
         assert (ids[0], ids[1]) in pairs
+
+
+# ---- driver-style blanket check: every registered extras oracle -------------
+
+
+def _extra_oracle_cases():
+    from timberline_spark.queries import EXTRA_ORACLES
+
+    return sorted(EXTRA_ORACLES)
+
+
+@pytest.mark.parametrize("name", _extra_oracle_cases())
+def test_registered_extras_oracles(spark, duck, name):
+    """Exactly what the driver does: Spark query vs DuckDB oracle SQL."""
+    from timberline_spark.queries import EXTRA_ORACLES, EXTRA_QUERIES
+
+    floats = {
+        "doc_quality": ("stopword_ratio", "punct_ratio", "mean_token_len"),
+        "doc_jaccard_pairs": ("jaccard",),
+        "doc_minhash_lsh_pairs": ("jaccard",),
+        "doc_cosine_neardup": ("cosine",),
+        "emb_knn_brute": ("score",),
+        "emb_knn_lsh": ("score",),
+        "emb_centroid_rep": ("cos_to_centroid",),
+    }
+    assert_frames_equal(
+        EXTRA_QUERIES[name](spark, SF_TINY),
+        duck.sql(EXTRA_ORACLES[name]),
+        float_cols=floats.get(name, ()),
+    )
 
 
 # ---- multimodal plumbing -----------------------------------------------------

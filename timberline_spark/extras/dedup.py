@@ -6,33 +6,41 @@ needs (the reference's online cosine-0.95 dedup —
 streaming ancestor of these batch operators):
 
 - exact dedup: normalized-text hash groupBy (J2 batch semantics)
-- n-gram Jaccard: token-shingle inverted index -> candidate pairs -> exact
-  Jaccard (SQL-expressible; oracle-checked)
-- MinHash + LSH: shingle -> K minhashes (crc32-based, JVM-side) -> B bands ->
-  bucket join -> candidate pairs -> exact-Jaccard verify
-- SimHash: 64-bit sign-aggregated token hashes, hamming-distance buckets
+- n-gram Jaccard: token-shingle inverted index (document-frequency capped so
+  hot stop-phrase shingles can't explode the candidate space) -> candidate
+  pairs -> exact-Jaccard verify
+- MinHash + LSH: hashed shingles -> K minhashes -> B bands -> bucket join ->
+  candidate pairs -> exact-Jaccard verify
+- SimHash: 32-bit sign-aggregated token hashes
 - embedding-cosine near-dup: see extras.similarity
 
-All hashing is crc32/arithmetic (deterministic, reproducible in plain
-Python for the pytest oracle; no rand()).
+All hashing is the cross-engine polynomial arithmetic in
+:mod:`timberline_spark.extras.xhash` (no crc32 — DuckDB can't compute it),
+so every operator here has a DuckDB oracle executing the identical math.
 """
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from . import xhash as xh
 from .textfns import TOKEN_RE
 
 SHINGLE_K = 3
 MINHASH_PERMS = 16
 LSH_BANDS = 4  # 4 bands x 4 rows
-MINHASH_P = 4_294_967_311  # prime > 2^32
-COEFF_MOD = 1_073_741_789  # prime < 2^30: crc32 (< 2^32) * a stays below 2^63
+MINHASH_P = 1_073_741_789  # prime < 2^30: shingle hash (<2^30) * coeff stays < 2^63
+COEFF_MOD = 1_073_741_789
 JACCARD_THRESHOLD = 0.8
+# shingles present in more documents than this are dropped from CANDIDATE
+# GENERATION only (the exact-Jaccard verify still uses the full sets): one
+# stop-phrase shingle shared by 1M docs would otherwise create ~10^12 pairs
+MAX_SHINGLE_DF = 100
+
 
 # deterministic per-permutation coefficients (Knuth-style multiplicative
-# sequences — public-domain arithmetic, reproducible in the pytest oracle)
+# sequences — public-domain arithmetic, reproducible in SQL and plain Python)
 def _perm_coeffs(j: int) -> tuple[int, int]:
     a = (2_654_435_761 * (j + 1) + 104_729) % COEFF_MOD
     b = (40_503 * (j + 1) + 7_919) % COEFF_MOD
@@ -44,7 +52,7 @@ def _norm_text(col):
 
 
 def _shingles(col):
-    """Distinct K-token shingles of the normalized text."""
+    """Distinct K-token STRING shingles (used by the Jaccard family)."""
     toks = F.regexp_extract_all(F.lower(col), F.lit(TOKEN_RE), 0)
     n = F.size(toks)
     # guard: sequence(1, 0) would generate a DESCENDING range in Spark
@@ -74,14 +82,48 @@ def doc_exact_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _verify_pairs(cand: DataFrame, sh: DataFrame, threshold: float) -> DataFrame:
+    """Exact-Jaccard verification of candidate (doc_a, doc_b) pairs against
+    the full shingle sets (works for string or hashed shingles)."""
+    verified = (
+        cand.join(
+            sh.withColumnsRenamed({"doc_id": "doc_a", "sh": "sh_a", "n_sh": "n_a"}),
+            "doc_a",
+        )
+        .join(
+            sh.withColumnsRenamed({"doc_id": "doc_b", "sh": "sh_b", "n_sh": "n_b"}),
+            "doc_b",
+        )
+        .withColumn("n_inter", F.size(F.array_intersect("sh_a", "sh_b")))
+        .withColumn(
+            "jaccard",
+            F.round(
+                F.col("n_inter")
+                / (F.col("n_a") + F.col("n_b") - F.col("n_inter")).cast("double"),
+                4,
+            ),
+        )
+        .filter(F.col("jaccard") >= threshold)
+        .select("doc_a", "doc_b", "jaccard")
+    )
+    return verified
+
+
 def doc_jaccard_pairs(
-    spark: SparkSession, sf_dir: str, threshold: float = JACCARD_THRESHOLD
+    spark: SparkSession,
+    sf_dir: str,
+    threshold: float = JACCARD_THRESHOLD,
+    max_shingle_df: int = MAX_SHINGLE_DF,
 ) -> DataFrame:
     """Near-dup pairs by exact token-shingle Jaccard.
 
-    Scale path: the candidate generation is an inverted-index self-join on
+    Scale path: candidate generation is an inverted-index self-join on
     shingle (shuffle on shingle key, combinable counts) — never an all-pairs
-    cross join. Pairs sharing no shingle are never materialized.
+    cross join — with a document-frequency cap that drops hot shingles from
+    the index (a shingle in >max_shingle_df docs contributes O(df^2)
+    candidates while signaling near-nothing about similarity). The Jaccard
+    itself is computed exactly over the FULL shingle sets of each surviving
+    candidate pair.
     """
     docs = (
         spark.read.parquet(f"{sf_dir}/documents.parquet")
@@ -89,49 +131,56 @@ def doc_jaccard_pairs(
         .withColumn("n_sh", F.size("sh"))
         .filter(F.col("n_sh") > 0)
     )
-    exploded = docs.select("doc_id", "n_sh", F.explode("sh").alias("shingle"))
-    a = exploded.alias("a")
-    b = exploded.alias("b")
-    inter = (
-        a.join(b, (F.col("a.shingle") == F.col("b.shingle")) & (F.col("a.doc_id") < F.col("b.doc_id")))
-        .groupBy(
-            F.col("a.doc_id").alias("doc_a"),
-            F.col("b.doc_id").alias("doc_b"),
-            F.col("a.n_sh").alias("n_a"),
-            F.col("b.n_sh").alias("n_b"),
+    exploded = docs.select("doc_id", F.explode("sh").alias("shingle"))
+    cold = (
+        exploded.groupBy("shingle")
+        .agg(F.count(F.lit(1)).alias("df"))
+        .filter(F.col("df") <= max_shingle_df)
+        .select("shingle")
+    )
+    capped = exploded.join(cold, "shingle")
+    a, b = capped.alias("a"), capped.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.shingle") == F.col("b.shingle"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
         )
-        .agg(F.count(F.lit(1)).alias("n_inter"))
+        .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .distinct()
     )
-    jac = F.round(
-        F.col("n_inter")
-        / (F.col("n_a") + F.col("n_b") - F.col("n_inter")).cast("double"),
-        4,
-    )
-    return inter.select(
-        "doc_a", "doc_b", jac.alias("jaccard")
-    ).filter(F.col("jaccard") >= threshold)
+    return _verify_pairs(cand, docs, threshold)
 
 
-def _hash_lambda(a: int, b: int):
+def _hashed_shingle_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(doc_id, sh: array<long>, n_sh) — distinct hashed shingles per doc."""
+    return (
+        spark.read.parquet(f"{sf_dir}/documents.parquet")
+        .select(
+            "doc_id",
+            xh.shingle_hashes(xh.token_hashes(F.col("text")), SHINGLE_K).alias("sh"),
+        )
+        .withColumn("n_sh", F.size("sh"))
+        .filter(F.col("n_sh") > 0)
+    )
+
+
+def _perm_lambda(a: int, b: int):
     # factory keeps the HOF lambda single-arg (pyspark inspects arity)
-    return lambda x: (F.crc32(x) * F.lit(a) + F.lit(b)) % F.lit(MINHASH_P)
+    return lambda x: (x * F.lit(a) + F.lit(b)) % F.lit(MINHASH_P)
 
 
-def _minhash_col(sh_col):
-    """Array of MINHASH_PERMS min-hashes over the shingle set (crc32-based)."""
+def _minhash_col(sh_col: Column) -> Column:
+    """Array of MINHASH_PERMS min-hashes over a hashed-shingle array."""
     mh = []
     for j in range(MINHASH_PERMS):
         a, b = _perm_coeffs(j)
-        mh.append(F.array_min(F.transform(sh_col, _hash_lambda(a, b))))
+        mh.append(F.array_min(F.transform(sh_col, _perm_lambda(a, b))))
     return F.array(*mh)
 
 
 def doc_minhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = (
-        spark.read.parquet(f"{sf_dir}/documents.parquet")
-        .select("doc_id", _shingles(F.col("text")).alias("sh"))
-        .filter(F.size("sh") > 0)
-    )
+    docs = _hashed_shingle_docs(spark, sf_dir)
     return docs.select("doc_id", _minhash_col(F.col("sh")).alias("minhash"))
 
 
@@ -142,14 +191,11 @@ def doc_minhash_lsh_pairs(
 
     Candidates come from B band buckets (rows/band = K/B); each band join is
     an equi-join on the concatenated band hash — the classic LSH recipe, all
-    JVM-side. Verified pairs carry the exact shingle Jaccard.
+    JVM-side. Verified pairs carry the exact hashed-shingle Jaccard, which
+    the DuckDB oracle recomputes with identical arithmetic.
     """
-    docs = (
-        spark.read.parquet(f"{sf_dir}/documents.parquet")
-        .select("doc_id", _shingles(F.col("text")).alias("sh"))
-        .withColumn("n_sh", F.size("sh"))
-        .filter(F.col("n_sh") > 0)
-        .withColumn("minhash", _minhash_col(F.col("sh")))
+    docs = _hashed_shingle_docs(spark, sf_dir).withColumn(
+        "minhash", _minhash_col(F.col("sh"))
     )
     rows_per_band = MINHASH_PERMS // LSH_BANDS
     bands = docs.select(
@@ -183,35 +229,19 @@ def doc_minhash_lsh_pairs(
         .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
         .distinct()
     )
-    # exact-Jaccard verify on the candidates only
-    sh = docs.select("doc_id", "sh", "n_sh")
-    verified = (
-        cand.join(sh.withColumnsRenamed({"doc_id": "doc_a", "sh": "sh_a", "n_sh": "n_a"}), "doc_a")
-        .join(sh.withColumnsRenamed({"doc_id": "doc_b", "sh": "sh_b", "n_sh": "n_b"}), "doc_b")
-        .withColumn("n_inter", F.size(F.array_intersect("sh_a", "sh_b")))
-        .withColumn(
-            "jaccard",
-            F.round(
-                F.col("n_inter")
-                / (F.col("n_a") + F.col("n_b") - F.col("n_inter")).cast("double"),
-                4,
-            ),
-        )
-        .filter(F.col("jaccard") >= threshold)
-        .select("doc_a", "doc_b", "jaccard")
-    )
-    return verified
+    return _verify_pairs(cand, docs.select("doc_id", "sh", "n_sh"), threshold)
 
 
 def doc_simhash(spark: SparkSession, sf_dir: str, bits: int = 32) -> DataFrame:
-    """SimHash: per-token crc32, sign-aggregated per bit — pure JVM-side.
+    """SimHash: per-token polynomial hash mixed to 32 bits, sign-aggregated
+    per bit — pure JVM-side higher-order functions, no UDF.
 
-    For each bit position, sum (+1 / -1) over token hashes; the sign forms
-    the fingerprint bit. Implemented with higher-order functions (no UDF).
+    For each bit position, sum (+1 / -1) over token hashes (duplicates
+    count); the sign forms the fingerprint bit.
     """
     df = spark.read.parquet(f"{sf_dir}/documents.parquet")
-    toks = F.regexp_extract_all(F.lower(F.col("text")), F.lit(TOKEN_RE), 0)
-    hashes = F.transform(toks, lambda t: F.crc32(t))
+    hashes = F.transform(xh.token_hashes(F.col("text")), xh.mix32)
+
     def _vote_lambda(i: int):
         return lambda acc, h: acc + F.when(
             F.shiftright(h, i).bitwiseAND(F.lit(1)) == 1, 1
@@ -239,24 +269,97 @@ FROM (SELECT doc_id, regexp_replace(trim(lower(text)), '[ ]+', ' ', 'g') AS norm
 GROUP BY norm_text"""
 
 
-def oracle_jaccard_pairs(threshold: float = JACCARD_THRESHOLD) -> str:
+_SQL_VERIFY = """
+SELECT c.doc_a, c.doc_b,
+       ROUND(len(list_intersect(a.sh, b.sh)) /
+             CAST(a.n_sh + b.n_sh - len(list_intersect(a.sh, b.sh)) AS DOUBLE),
+             4) AS jaccard
+FROM cand c
+JOIN docs a ON a.doc_id = c.doc_a
+JOIN docs b ON b.doc_id = c.doc_b
+WHERE ROUND(len(list_intersect(a.sh, b.sh)) /
+            CAST(a.n_sh + b.n_sh - len(list_intersect(a.sh, b.sh)) AS DOUBLE),
+            4) >= {threshold}"""
+
+
+def oracle_jaccard_pairs(
+    threshold: float = JACCARD_THRESHOLD, max_shingle_df: int = MAX_SHINGLE_DF
+) -> str:
     return f"""
-WITH sh AS (
+WITH sh0 AS (
   SELECT doc_id, list_distinct(list_transform(
       range(1, greatest(len(toks) - {SHINGLE_K - 2}, 1)),
-      i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])) AS shingles
+      i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])) AS sh
   FROM (SELECT doc_id, regexp_extract_all(lower(text), '{TOKEN_RE}') AS toks
         FROM documents)
+), docs AS (
+  SELECT doc_id, sh, len(sh) AS n_sh FROM sh0 WHERE len(sh) > 0
 ), e AS (
-  SELECT doc_id, len(shingles) AS n_sh, unnest(shingles) AS shingle
-  FROM sh WHERE len(shingles) > 0
-), inter AS (
-  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, a.n_sh AS n_a, b.n_sh AS n_b,
-         COUNT(*) AS n_inter
-  FROM e a JOIN e b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
-  GROUP BY 1,2,3,4
+  SELECT doc_id, unnest(sh) AS shingle FROM docs
+), cold AS (
+  SELECT shingle FROM e GROUP BY shingle HAVING COUNT(*) <= {max_shingle_df}
+), capped AS (
+  SELECT e.doc_id, e.shingle FROM e JOIN cold USING (shingle)
+), cand AS (
+  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+  FROM capped a JOIN capped b
+    ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+)""" + _SQL_VERIFY.format(threshold=threshold)
+
+
+def _sql_hashed_docs() -> str:
+    """CTE body producing docs(doc_id, sh BIGINT[], n_sh) — hashed shingles."""
+    return f"""sh0 AS (
+  SELECT doc_id, {xh.sql_shingle_hashes('hs', SHINGLE_K)} AS sh
+  FROM (SELECT doc_id, {xh.sql_token_hashes('text')} AS hs FROM documents)
+), docs AS (
+  SELECT doc_id, sh, len(sh) AS n_sh FROM sh0 WHERE len(sh) > 0
+)"""
+
+
+def oracle_minhash_lsh_pairs(threshold: float = JACCARD_THRESHOLD) -> str:
+    rows_per_band = MINHASH_PERMS // LSH_BANDS
+    mins = []
+    for j in range(MINHASH_PERMS):
+        a, b = _perm_coeffs(j)
+        mins.append(
+            f"list_min(list_transform(sh, x -> (x * {a} + {b}) % {MINHASH_P}))"
+        )
+    band_selects = []
+    for band in range(LSH_BANDS):
+        parts = " || '_' || ".join(
+            f"CAST(minhash[{band * rows_per_band + r + 1}] AS VARCHAR)"
+            for r in range(rows_per_band)
+        )
+        band_selects.append(
+            f"SELECT doc_id, {band} AS band, {parts} AS bucket FROM mh"
+        )
+    bands_sql = "\n  UNION ALL\n  ".join(band_selects)
+    return f"""
+WITH {_sql_hashed_docs()}, mh AS (
+  SELECT doc_id, [{", ".join(mins)}] AS minhash FROM docs
+), bands AS (
+  {bands_sql}
+), cand AS (
+  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+  FROM bands a JOIN bands b
+    ON a.band = b.band AND a.bucket = b.bucket AND a.doc_id < b.doc_id
+)""" + _SQL_VERIFY.format(threshold=threshold)
+
+
+def oracle_simhash(bits: int = 32) -> str:
+    terms = []
+    for i in range(bits):
+        terms.append(
+            f"CASE WHEN COALESCE(list_sum(list_transform(hs,"
+            f" h -> CASE WHEN (h >> {i}) & 1 = 1 THEN 1 ELSE -1 END)), 0) > 0"
+            f" THEN CAST({2**i} AS BIGINT) ELSE CAST(0 AS BIGINT) END"
+        )
+    return f"""
+WITH h AS (
+  SELECT doc_id,
+         list_transform({xh.sql_token_hashes('text')},
+                        h -> {xh.sql_mix32('h')}) AS hs
+  FROM documents
 )
-SELECT doc_a, doc_b,
-       ROUND(n_inter / CAST(n_a + n_b - n_inter AS DOUBLE), 4) AS jaccard
-FROM inter
-WHERE ROUND(n_inter / CAST(n_a + n_b - n_inter AS DOUBLE), 4) >= {threshold}"""
+SELECT doc_id, CAST({" + ".join(terms)} AS BIGINT) AS simhash FROM h"""

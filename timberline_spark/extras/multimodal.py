@@ -122,3 +122,25 @@ def frame_sample(df: DataFrame, every: int = 4) -> DataFrame:
         .select("doc_id", F.explode(F.transform(idxs, _frame_lambda)).alias("f"))
         .select("doc_id", "f.frame_idx", "f.frame")
     )
+
+
+def oracle_frame_sample(every: int = 4) -> str:
+    """DuckDB oracle for the frame sampler: DuckDB has no BLOB substring, so
+    frames are sliced on the hex encoding (2 hex chars per byte) and decoded
+    back with from_hex — byte-identical to Spark's binary substring."""
+    fb = FRAME_BYTES
+    return f"""
+WITH p AS (
+  SELECT doc_id, hex(encode(text)) AS hx,
+         octet_length(encode(text)) AS n
+  FROM documents
+), f AS (
+  SELECT doc_id, hx,
+         unnest(range(0,
+             greatest(CAST(floor(n / {fb}) AS BIGINT) - 1, 0) + 1,
+             {every})) AS frame_idx
+  FROM p WHERE n >= {fb}
+)
+SELECT doc_id, CAST(frame_idx AS INT) AS frame_idx,
+       to_base64(from_hex(substring(hx, frame_idx * {2 * fb} + 1, {2 * fb}))) AS frame
+FROM f"""

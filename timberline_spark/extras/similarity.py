@@ -128,11 +128,6 @@ def _plane_bits(emb_col):
     return bits
 
 
-def _bucket_col(emb_col):
-    """Single concatenated bucket (used by the cosine near-dup pass)."""
-    return F.concat(*_plane_bits(emb_col)[:BITS_PER_TABLE])
-
-
 def _table_buckets(emb_col):
     """Array of (table, bucket) structs — banded multi-table LSH. A pair is
     a candidate if ANY table's bucket matches, which trades one shuffle per
@@ -152,29 +147,40 @@ def emb_knn_lsh(
 ) -> DataFrame:
     """LSH-bucketed ANN: hyperplane sign bucket equi-join, exact rescore.
 
-    At corpus scale the bucket join shuffles only on the bucket key; queries
+    At corpus scale the bucket join shuffles only (vec_id, bucket) pairs —
+    never the embedding vectors: candidate ids are deduplicated on
+    (query_id, neighbor_id) FIRST, and the vectors join back afterwards
+    (one row per candidate pair instead of one per shared bucket). Queries
     are broadcast. Recall < 1.0 by construction (single probe) — the test
     measures it against the brute-force baseline.
     """
-    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet").select(
-        "vec_id",
-        "embedding",
-        F.explode(_table_buckets(F.col("embedding"))).alias("tb"),
-    ).select("vec_id", "embedding", "tb.tbl", "tb.bucket")
-    q = emb.filter(F.col("vec_id") < n_queries).select(
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    buckets = emb.select(
+        "vec_id", F.explode(_table_buckets(F.col("embedding"))).alias("tb")
+    ).select("vec_id", "tb.tbl", "tb.bucket")
+    q_buckets = buckets.filter(F.col("vec_id") < n_queries).select(
         F.col("vec_id").alias("query_id"),
-        F.col("embedding").alias("q_emb"),
         F.col("tbl").alias("q_tbl"),
         F.col("bucket").alias("q_bucket"),
     )
-    cand = (
-        emb.join(
-            F.broadcast(q),
+    cand_ids = (
+        buckets.join(
+            F.broadcast(q_buckets),
             (F.col("tbl") == F.col("q_tbl")) & (F.col("bucket") == F.col("q_bucket")),
         )
         .filter(F.col("vec_id") != F.col("query_id"))
-        .select("query_id", F.col("vec_id").alias("neighbor_id"), "q_emb", "embedding")
+        .select("query_id", F.col("vec_id").alias("neighbor_id"))
         .distinct()
+    )
+    q_vecs = emb.filter(F.col("vec_id") < n_queries).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("q_emb")
+    )
+    scored = (
+        cand_ids.join(
+            emb.select(F.col("vec_id").alias("neighbor_id"), "embedding"),
+            "neighbor_id",
+        )
+        .join(F.broadcast(q_vecs), "query_id")
         .select(
             "query_id",
             "neighbor_id",
@@ -185,10 +191,54 @@ def emb_knn_lsh(
         F.col("score").desc(), F.col("neighbor_id")
     )
     return (
-        cand.withColumn("rank", F.row_number().over(w))
+        scored.withColumn("rank", F.row_number().over(w))
         .filter(F.col("rank") <= k)
         .select("query_id", "neighbor_id", "rank", "score")
     )
+
+
+def oracle_knn_lsh(k: int = 5, n_queries: int = 10) -> str:
+    """DuckDB oracle re-running the identical LSH pipeline: the hyperplanes
+    are emitted as literal DOUBLE[] rows, bucket bits from the sign of the
+    same ordered dot products, then the same dedup -> exact rescore -> rank."""
+    rows = []
+    planes = _hyperplanes()
+    for t in range(LSH_TABLES):
+        for r in range(BITS_PER_TABLE):
+            vec = ", ".join(repr(v) for v in planes[t * BITS_PER_TABLE + r])
+            rows.append(f"({t}, {r}, [{vec}]::DOUBLE[])")
+    values = ",\n    ".join(rows)
+    return f"""
+WITH planes(tbl, bit, plane) AS (
+  SELECT * FROM (VALUES
+    {values}) v(tbl, bit, plane)
+), e AS (
+  SELECT vec_id, embedding::DOUBLE[] AS emb FROM embeddings
+), bits AS (
+  SELECT e.vec_id, p.tbl, p.bit,
+         CASE WHEN list_dot_product(e.emb, p.plane) >= 0 THEN '1' ELSE '0' END AS b
+  FROM e CROSS JOIN planes p
+), buckets AS (
+  SELECT vec_id, tbl, string_agg(b, '' ORDER BY bit) AS bucket
+  FROM bits GROUP BY vec_id, tbl
+), cand AS (
+  SELECT DISTINCT q.vec_id AS query_id, c.vec_id AS neighbor_id
+  FROM buckets c JOIN buckets q ON c.tbl = q.tbl AND c.bucket = q.bucket
+  WHERE q.vec_id < {n_queries} AND c.vec_id <> q.vec_id
+), scored AS (
+  SELECT cand.query_id, cand.neighbor_id,
+    ROUND(list_dot_product(eq.emb, en.emb) /
+      NULLIF(sqrt(list_dot_product(eq.emb, eq.emb)) *
+             sqrt(list_dot_product(en.emb, en.emb)), 0.0), 4) AS score
+  FROM cand
+  JOIN e en ON en.vec_id = cand.neighbor_id
+  JOIN e eq ON eq.vec_id = cand.query_id
+)
+SELECT query_id, neighbor_id, rank, score FROM (
+  SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+      ORDER BY score DESC, neighbor_id) AS rank
+  FROM scored
+) t WHERE rank <= {k}"""
 
 
 def emb_centroid_rep(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -225,6 +275,33 @@ def emb_centroid_rep(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def oracle_centroid_rep() -> str:
+    """DuckDB oracle for A7: zipped unnest gives (pos, v), AVG per (label,
+    pos) builds the centroid, ordered list() reassembles it."""
+    return """
+WITH e AS (
+  SELECT label, vec_id, embedding::DOUBLE[] AS emb FROM embeddings
+), pos AS (
+  SELECT label, unnest(emb) AS v, unnest(range(1, len(emb)+1)) AS pos FROM e
+), cent AS (
+  SELECT label, list(cv ORDER BY pos) AS centroid FROM (
+    SELECT label, pos, AVG(v) AS cv FROM pos GROUP BY label, pos
+  ) GROUP BY label
+), scored AS (
+  SELECT e.label, e.vec_id,
+    ROUND(list_dot_product(e.emb, c.centroid) /
+      NULLIF(sqrt(list_dot_product(e.emb, e.emb)) *
+             sqrt(list_dot_product(c.centroid, c.centroid)), 0.0),
+      4) AS cos_to_centroid
+  FROM e JOIN cent c USING (label)
+)
+SELECT label, vec_id AS rep_vec_id, cos_to_centroid FROM (
+  SELECT *, ROW_NUMBER() OVER (PARTITION BY label
+      ORDER BY cos_to_centroid DESC, vec_id) AS rn
+  FROM scored
+) t WHERE rn = 1"""
+
+
 # ---- embedding surrogate (pandas UDF) ---------------------------------------
 
 
@@ -246,26 +323,74 @@ def _embed_batch(texts: pd.Series) -> pd.Series:
 embed_texts = F.pandas_udf(_embed_batch, returnType=T.ArrayType(T.FloatType()))
 
 
+DOC_COSINE_DIM = 1024  # hashed token dimensions for the sparse cosine join
+
+
 def doc_cosine_neardup(
     spark: SparkSession, sf_dir: str, threshold: float = 0.95
 ) -> DataFrame:
     """Embedding-cosine near-dup over documents (reference milvus.go:354-409
-    batch equivalence): surrogate-embed, LSH-bucket, exact-cosine verify."""
+    batch equivalence): EXACT sparse cosine via an inverted-index self-join.
+
+    Each document becomes a sparse token-count vector over DOC_COSINE_DIM
+    hashed dimensions (the same bag-of-hashed-tokens construction as the
+    dense pandas-UDF surrogate, but kept sparse). Pairs sharing no nonzero
+    dimension have cosine 0 and are never materialized; the join key is the
+    dimension — the classic sparse similarity join. This replaces round 1's
+    32-bucket LSH self-join (quadratic within buckets, maximally skewed) with
+    an exact, oracle-checkable plan: candidate volume scales with
+    sum(df_dim^2) over 1024 dims instead of N^2/32. At larger corpora raise
+    DOC_COSINE_DIM (sparsity ~ tokens/doc out of DIM) and prefix-filter or
+    df-cap the hottest dimensions.
+    """
+    from . import xhash as xh
+
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
-        "doc_id", embed_texts(F.col("text")).alias("emb")
+        "doc_id",
+        F.explode(xh.token_hashes(F.col("text"))).alias("th"),
     )
-    docs = docs.withColumn("bucket", _bucket_col(F.col("emb")))
-    a, b = docs.alias("a"), docs.alias("b")
+    tf = docs.groupBy(
+        "doc_id", (F.col("th") % DOC_COSINE_DIM).alias("dim")
+    ).agg(F.count(F.lit(1)).alias("cnt"))
+    norms = tf.groupBy("doc_id").agg(
+        F.sqrt(F.sum(F.col("cnt") * F.col("cnt"))).alias("nrm")
+    )
+    w = tf.join(norms, "doc_id").select(
+        "doc_id", "dim", (F.col("cnt") / F.col("nrm")).alias("w")
+    )
+    a, b = w.alias("a"), w.alias("b")
     return (
         a.join(
             b,
-            (F.col("a.bucket") == F.col("b.bucket"))
+            (F.col("a.dim") == F.col("b.dim"))
             & (F.col("a.doc_id") < F.col("b.doc_id")),
         )
-        .select(
-            F.col("a.doc_id").alias("doc_a"),
-            F.col("b.doc_id").alias("doc_b"),
-            _cosine(F.col("a.emb"), F.col("b.emb")).alias("cosine"),
+        .groupBy(
+            F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b")
         )
+        .agg(F.round(F.sum(F.col("a.w") * F.col("b.w")), 4).alias("cosine"))
         .filter(F.col("cosine") >= threshold)
     )
+
+
+def oracle_cosine_neardup(threshold: float = 0.95) -> str:
+    """DuckDB oracle: identical sparse bag-of-hashed-tokens cosine."""
+    from . import xhash as xh
+
+    return f"""
+WITH th AS (
+  SELECT doc_id, unnest({xh.sql_token_hashes('text')}) % {DOC_COSINE_DIM} AS dim
+  FROM documents
+), tf AS (
+  SELECT doc_id, dim, COUNT(*) AS cnt FROM th GROUP BY doc_id, dim
+), nrm AS (
+  SELECT doc_id, sqrt(CAST(SUM(cnt * cnt) AS DOUBLE)) AS nrm FROM tf GROUP BY doc_id
+), w AS (
+  SELECT tf.doc_id, tf.dim, tf.cnt / nrm.nrm AS w
+  FROM tf JOIN nrm USING (doc_id)
+)
+SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+       ROUND(SUM(a.w * b.w), 4) AS cosine
+FROM w a JOIN w b ON a.dim = b.dim AND a.doc_id < b.doc_id
+GROUP BY a.doc_id, b.doc_id
+HAVING ROUND(SUM(a.w * b.w), 4) >= {threshold}"""

@@ -306,7 +306,16 @@ def _extra_registries():
         "doc_fingerprint": tf.oracle_fingerprint(),
         "doc_exact_dedup": dd.oracle_exact_dedup(),
         "doc_jaccard_pairs": dd.oracle_jaccard_pairs(0.2),
+        "doc_minhash_lsh_pairs": dd.oracle_minhash_lsh_pairs(0.2),
+        "doc_simhash": dd.oracle_simhash(),
+        "doc_cosine_neardup": sim.oracle_cosine_neardup(0.99),
         "emb_knn_brute": sim.oracle_knn_brute(),
+        "emb_knn_lsh": sim.oracle_knn_lsh(),
+        "emb_centroid_rep": sim.oracle_centroid_rep(),
+        "multimodal_frames": mm.oracle_frame_sample(),
+        # multimodal_features stays rows-only: the per-stride byte-mean fake
+        # decoder (numpy array_split over raw payload bytes) has no SQL
+        # equivalent — its exact semantics are pinned in tests/test_extras.py
     }
     return queries, oracles
 
