@@ -67,6 +67,9 @@ def dedup_turns(kept: DataFrame) -> DataFrame:
         F.col("is_warning"),
         F.col("service"),
         F.col("message"),
+        # maps aren't orderable inside min(struct); serialize and restore.
+        # Never reached by the comparison: (ts, conv_id, turn_idx) is unique.
+        F.to_json(F.col("labels")).alias("labels_json"),
     )
     g = df.groupBy("dedup_key").agg(
         F.min(rep).alias("rep"),
@@ -85,6 +88,7 @@ def dedup_turns(kept: DataFrame) -> DataFrame:
         F.col("rep.is_warning").alias("is_warning"),
         F.col("rep.service").alias("service"),
         F.col("rep.message").alias("message"),
+        F.from_json(F.col("rep.labels_json"), "map<string,string>").alias("labels"),
         "duplicate_count",
         "first_ts_ms",
         "last_ts_ms",

@@ -128,7 +128,7 @@ def run_pipeline(
         "conv_id", "turn_idx", "role", "tool", "tool_category", "is_sensitive",
         "ts", "service", "message", "level", "severity", "severity_score",
         "is_error", "is_warning", "effective_ts_ms", "anomaly_reason",
-        "is_valid", "keep_level", "keep_sampled", "kept", "conv_num",
+        "is_valid", "keep_level", "keep_sampled", "kept", "conv_num", "labels",
     ]
     classified = (
         route.classify_turns(enrich_turns(spark, parse_turns(tr, impl=parse_impl)))

@@ -156,18 +156,12 @@ def q_recent_logs(spark: SparkSession, sf_dir: str, n: int = 1000) -> DataFrame:
 
 
 def q_label_canon(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """P15/P16: label map extraction + canonical sorted `k=v|...` key
-    (milvus_client.py:351-386). Labels here are the turn's dimensional
-    attrs; empty map -> 'no-labels'."""
+    """P15/P16: open-metadata label extraction (3-path fallback chain,
+    models/log.py:177-199, applied in parse) + canonical sorted `k=v|...`
+    key (milvus_client.py:375-386). Generic map ops over whatever keys the
+    metadata carries; missing/empty map -> 'no-labels'."""
     df = _classified(spark, sf_dir).filter(F.col("is_valid"))
-    labels = F.map_filter(
-        F.create_map(
-            F.lit("service"), F.col("service"),
-            F.lit("role"), F.col("role"),
-            F.lit("tool"), F.col("tool"),
-        ),
-        lambda k, v: v.isNotNull() & (v != ""),
-    )
+    labels = F.col("labels")
     canon = F.concat_ws(
         "|",
         F.sort_array(
@@ -179,7 +173,7 @@ def q_label_canon(spark: SparkSession, sf_dir: str) -> DataFrame:
     return df.select(
         "conv_id",
         "turn_idx",
-        F.when(F.size(F.map_entries(labels)) == 0, "no-labels")
+        F.when(labels.isNull() | (F.size(F.map_entries(labels)) == 0), "no-labels")
         .otherwise(canon)
         .alias("label_key"),
     )
@@ -188,17 +182,16 @@ def q_label_canon(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_common_labels(spark: SparkSession, sf_dir: str) -> DataFrame:
     """A6: per-cluster label intersection — (k, v) pairs present with equal
     value in EVERY row of the cluster (models/log.py:157-175), via
-    explode -> group -> count == cluster_size (no per-row Python)."""
+    explode -> group -> count == cluster_size over the OPEN metadata map
+    (rows without labels empty the intersection, as in the reference's
+    iterative dict intersection)."""
     kept = route.kept_turns(_classified(spark, sf_dir))
     d = agg.dedup_turns(kept)
     d = d.withColumn(
         "fingerprint", agg.cluster_fingerprint(F.col("message"), F.col("level"))
     )
-    labels = F.create_map(
-        F.lit("service"), F.col("service"), F.lit("level"), F.col("level")
-    )
     sizes = d.groupBy("fingerprint").agg(F.count(F.lit(1)).alias("cluster_size"))
-    kv = d.select("fingerprint", F.explode(labels).alias("k", "v"))
+    kv = d.select("fingerprint", F.explode(F.col("labels")).alias("k", "v"))
     counts = kv.groupBy("fingerprint", "k", "v").agg(F.count(F.lit(1)).alias("n"))
     return (
         counts.join(sizes, "fingerprint")

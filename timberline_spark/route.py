@@ -17,7 +17,7 @@ Reference semantics:
   reproducible by the DuckDB oracle).
 
 Anomaly reason precedence (first match wins):
-  empty_text > unparseable_ts > invalid_bounds > unknown_level.
+  empty_text > unparseable_ts > empty_message > invalid_bounds > unknown_level.
 """
 
 from __future__ import annotations
@@ -37,7 +37,13 @@ from .dicts import (
 KEEP_LEVELS = ("ERROR", "CRITICAL", "WARNING")  # error|fatal|warn|panic rule
 ERROR_SINK_LEVELS = ("ERROR", "CRITICAL")
 
-ANOMALY_REASONS = ("empty_text", "unparseable_ts", "invalid_bounds", "unknown_level")
+ANOMALY_REASONS = (
+    "empty_text",
+    "unparseable_ts",
+    "empty_message",
+    "invalid_bounds",
+    "unknown_level",
+)
 
 
 def hash100(conv_num: Column, turn_idx: Column) -> Column:
@@ -60,6 +66,9 @@ def classify_turns(df: DataFrame) -> DataFrame:
     reason = (
         F.when(F.col("text") == "", "empty_text")
         .when(F.col("level_raw").isNull(), "unparseable_ts")
+        # the reference rejects records whose parsed message is empty
+        # (log.go:43-64 "message required")
+        .when(F.col("message") == "", "empty_message")
         .when(
             (F.col("effective_ts_ms") < TS_LOW_MS)
             | (F.col("effective_ts_ms") > TS_HIGH_MS),

@@ -16,14 +16,7 @@ Each public ``q_*`` function returns a complete SELECT statement.
 from __future__ import annotations
 
 from . import dicts
-from .parse import (
-    RE_CONV_NUM,
-    RE_JSON_LEVEL,
-    RE_JSON_MESSAGE,
-    RE_JSON_SERVICE,
-    RE_KLOG,
-    RE_PLAIN,
-)
+from .parse import RE_CONV_NUM, RE_FB_LOG, RE_KLOG, RE_PLAIN
 from .transcripts import DUCKDB, SPARK, Dialect, transcripts_sql
 
 
@@ -32,6 +25,22 @@ def _re(d: Dialect, pat: str) -> str:
     if d.name == "spark":
         pat = pat.replace("\\", "\\\\")
     return pat.replace("'", "''")
+
+
+def _json_str(d: Dialect, src: str, path: str) -> str:
+    """Dialect shim for JSON string extraction (unescapes like from_json)."""
+    if d.name == "spark":
+        return f"get_json_object({src}, '{path}')"
+    return f"json_extract_string({src}, '{path}')"
+
+
+def _jtext(d: Dialect) -> str:
+    """NULL unless the row is a parseable JSON object: DuckDB's
+    json_extract_* raises on malformed JSON (no lazy CASE lanes), so the
+    source column is nulled first."""
+    if d.name == "spark":
+        return "CASE WHEN text LIKE '{%' THEN text END"
+    return "CASE WHEN text LIKE '{%' AND json_valid(text) THEN text END"
 
 
 def _level_priority_sql(col: str) -> str:
@@ -68,27 +77,45 @@ WITH tr AS (
     NULLIF(regexp_extract(text, '{_re(d, RE_PLAIN)}', 3), '') AS plain_svc,
     regexp_extract(text, '{_re(d, RE_PLAIN)}', 4) AS plain_msg,
     NULLIF(regexp_extract(text, '{_re(d, RE_PLAIN)}', 1), '') AS plain_ts,
-    CASE WHEN text LIKE '{{%' THEN NULLIF(regexp_extract(text, '{_re(d, RE_JSON_LEVEL)}', 1), '') END AS json_lvl,
-    CASE WHEN text LIKE '{{%' THEN NULLIF(regexp_extract(text, '{_re(d, RE_JSON_SERVICE)}', 1), '') END AS json_svc,
-    CASE WHEN text LIKE '{{%' THEN regexp_extract(text, '{_re(d, RE_JSON_MESSAGE)}', 1) END AS json_msg,
+    {_json_str(d, "jtext", "$.level")} AS json_lvl,
+    {_json_str(d, "jtext", "$.service")} AS json_svc,
+    {_json_str(d, "jtext", "$.message")} AS json_msg,
+    {_json_str(d, "jtext", "$.log")} AS fb_log,
+    {_json_str(d, "jtext", "$.source")} AS fb_src,
+    CAST({_json_str(d, "jtext", "$.date")} AS DOUBLE) AS fb_date,
+    COALESCE({_json_str(d, "jtext", "$.labels.app")},
+             {_json_str(d, "jtext", "$.kubernetes_labels.app")},
+             {_json_str(d, "jtext", "$.kubernetes.labels.app")}) AS lab_app,
+    COALESCE({_json_str(d, "jtext", "$.labels.sev")},
+             {_json_str(d, "jtext", "$.kubernetes_labels.sev")},
+             {_json_str(d, "jtext", "$.kubernetes.labels.sev")}) AS lab_sev,
+    COALESCE({_json_str(d, "jtext", "$.labels.tier")},
+             {_json_str(d, "jtext", "$.kubernetes_labels.tier")},
+             {_json_str(d, "jtext", "$.kubernetes.labels.tier")}) AS lab_tier,
     NULLIF(regexp_extract(text, '{_re(d, RE_KLOG)}', 1), '') AS klog_lvl,
     NULLIF(regexp_extract(text, '{_re(d, RE_KLOG)}', 4), '') AS klog_svc,
     regexp_extract(text, '{_re(d, RE_KLOG)}', 6) AS klog_msg
-  FROM tr
+  FROM (SELECT *, {_jtext(d)} AS jtext FROM tr) tj
 ), parsed AS (
   SELECT conv_id, turn_idx, role, tool, ts, text, conv_num,
+    lab_app, lab_sev, lab_tier,
     CASE WHEN plain_lvl IS NOT NULL THEN 'plain'
          WHEN json_lvl IS NOT NULL THEN 'json'
+         WHEN fb_lvl IS NOT NULL THEN 'fluentbit'
          WHEN klog_lvl IS NOT NULL THEN 'klog' END AS grammar,
-    COALESCE(plain_lvl, json_lvl, klog_lvl) AS level_raw,
-    CASE WHEN plain_lvl IS NOT NULL THEN plain_svc
-         WHEN json_lvl IS NOT NULL THEN json_svc
-         WHEN klog_lvl IS NOT NULL THEN klog_svc END AS service,
+    COALESCE(plain_lvl, json_lvl, fb_lvl, klog_lvl) AS level_raw,
+    COALESCE(plain_svc, json_svc, fb_src, klog_svc) AS service,
     CASE WHEN plain_lvl IS NOT NULL THEN plain_msg
          WHEN json_lvl IS NOT NULL THEN json_msg
+         WHEN fb_lvl IS NOT NULL THEN regexp_extract(fb_log, '{_re(d, RE_FB_LOG)}', 2)
          WHEN klog_lvl IS NOT NULL THEN klog_msg END AS message,
-    {d.epoch_ms(d.try_parse_ts("plain_ts"))} AS text_ts_ms
-  FROM parsed0
+    COALESCE({d.epoch_ms(d.try_parse_ts("plain_ts"))},
+             CASE WHEN fb_lvl IS NOT NULL THEN
+               CASE WHEN fb_date < 1e12 THEN CAST(fb_date * 1000 AS BIGINT)
+                    ELSE CAST(fb_date AS BIGINT) END
+             END) AS text_ts_ms
+  FROM (SELECT *, NULLIF(regexp_extract(fb_log, '{_re(d, RE_FB_LOG)}', 1), '') AS fb_lvl
+        FROM parsed0) p0
 ), enriched AS (
   SELECT p.*, severity_dict.level, severity_dict.severity,
          severity_dict.severity_score, severity_dict.is_error,
@@ -103,6 +130,7 @@ WITH tr AS (
     COALESCE(text_ts_ms, {d.epoch_ms("ts")}) AS effective_ts_ms,
     CASE WHEN text = '' THEN 'empty_text'
          WHEN level_raw IS NULL THEN 'unparseable_ts'
+         WHEN message = '' THEN 'empty_message'
          WHEN COALESCE(text_ts_ms, {d.epoch_ms("ts")}) < {dicts.TS_LOW_MS}
            OR COALESCE(text_ts_ms, {d.epoch_ms("ts")}) > {dicts.TS_HIGH_MS}
            THEN 'invalid_bounds'
@@ -122,6 +150,7 @@ WITH tr AS (
   SELECT * FROM (
     SELECT LOWER(message) AS dedup_key, conv_id, turn_idx, level, severity,
            severity_score, is_error, is_warning, service, message,
+           lab_app, lab_sev, lab_tier,
            ROW_NUMBER() OVER (PARTITION BY LOWER(message)
              ORDER BY effective_ts_ms, conv_id, turn_idx) AS rn,
            COUNT(*) OVER (PARTITION BY LOWER(message)) AS duplicate_count,
@@ -337,14 +366,17 @@ def q_recent_logs(d: Dialect = DUCKDB, n: int = 1000) -> str:
 
 
 def q_label_canon(d: Dialect = DUCKDB) -> str:
-    # fixed label keys -> the canonical sorted k=v join is spelled directly
-    # (independent formulation of the same semantics)
+    # The Spark side canonicalizes an OPEN map (sorted k=v joined with '|');
+    # the oracle is an independent formulation exploiting corpus knowledge:
+    # labels, when present, are exactly {app, tier} (and 'app' < 'tier'),
+    # surfaced through all three fallback paths (labels / kubernetes_labels
+    # / kubernetes.labels — models/log.py:177-199).
     return _q(
         d,
         "SELECT conv_id, turn_idx,"
-        " CASE WHEN tool <> '' THEN 'role=' || role || '|service=' || service"
-        "           || '|tool=' || tool"
-        "      ELSE 'role=' || role || '|service=' || service END AS label_key"
+        " CASE WHEN lab_app IS NOT NULL THEN"
+        "   'app=' || lab_app || '|sev=' || lab_sev || '|tier=' || lab_tier"
+        " ELSE 'no-labels' END AS label_key"
         " FROM flagged WHERE is_valid",
     )
 
@@ -354,15 +386,17 @@ def q_common_labels(d: Dialect = DUCKDB) -> str:
     fp = (
         "SELECT level || '|' || regexp_replace(LOWER(message), '[0-9]+', '#'"
         + g
-        + ") AS fingerprint, service, level FROM dedup"
+        + ") AS fingerprint, lab_app, lab_sev, lab_tier FROM dedup"
     )
     return _q(
         d,
         f"""SELECT kv.fingerprint, kv.k, kv.v
 FROM (
-  SELECT fingerprint, 'service' AS k, service AS v FROM ({fp}) a
+  SELECT fingerprint, 'app' AS k, lab_app AS v FROM ({fp}) a WHERE lab_app IS NOT NULL
   UNION ALL
-  SELECT fingerprint, 'level' AS k, level AS v FROM ({fp}) b
+  SELECT fingerprint, 'sev' AS k, lab_sev AS v FROM ({fp}) s WHERE lab_sev IS NOT NULL
+  UNION ALL
+  SELECT fingerprint, 'tier' AS k, lab_tier AS v FROM ({fp}) b WHERE lab_tier IS NOT NULL
 ) kv
 JOIN (
   SELECT fingerprint, COUNT(*) AS n FROM ({fp}) c GROUP BY fingerprint

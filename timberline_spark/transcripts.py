@@ -59,6 +59,11 @@ class Dialect:
             return f"unix_millis(cast({e} as timestamp))"
         return f"epoch_ms({e})"
 
+    def epoch_s(self, e: str) -> str:
+        if self.name == "spark":
+            return f"unix_seconds(cast({e} as timestamp))"
+        return f"CAST(floor(epoch({e})) AS BIGINT)"
+
     def try_parse_ts(self, e: str) -> str:  # from 'YYYY-MM-DD HH:MM:SS'
         if self.name == "spark":
             return f"try_to_timestamp({e}, 'yyyy-MM-dd HH:mm:ss')"
@@ -76,7 +81,18 @@ REPLICA_STRIDE = 10_000_000_000
 
 
 def transcripts_sql(d: Dialect, events_rel: str = "events") -> str:
-    """SELECT producing the transcripts table from `events`, dialect-neutral."""
+    """SELECT producing the transcripts table from `events`, dialect-neutral.
+
+    The JSON grammar deliberately exercises what the reference's real JSON
+    ingest handles and a regex extractor cannot (stream.go:226-244 unmarshals
+    full structs): three key orders, escaped quotes inside ``message``
+    (event_id % 13), open metadata labels in the THREE storage shapes the
+    label-fallback chain covers (``labels`` / ``kubernetes_labels`` /
+    ``kubernetes.labels`` — models/log.py:177-199), some JSON rows with no
+    labels at all, and the Fluent Bit dual-format shape
+    ``{date, log, source, kubernetes}`` whose float ``date`` feeds the
+    seconds-vs-millis heuristic (stream.go:77-90).
+    """
     S = d.str_type
     msg = (
         "CASE event_type "
@@ -87,6 +103,8 @@ def transcripts_sql(d: Dialect, events_rel: str = "events") -> str:
         f"WHEN 'click' THEN 'User clicked element btn-' || CAST(event_id % 13 AS {S}) "
         f"ELSE 'Page viewed in session sess-' || CAST(user_id % 50 AS {S}) END"
         " || CASE WHEN event_id % 11 = 0 THEN ' ñ中文' ELSE '' END"
+        # embedded double quotes: the JSON grammars must escape these
+        f" || CASE WHEN event_id % 13 = 0 THEN ' q=' || chr(34) || 'v' || CAST(event_id % 5 AS {S}) || chr(34) ELSE '' END"
     )
     lvl = (
         "CASE WHEN event_id % 101 = 0 THEN 'NOTICE' "
@@ -104,9 +122,37 @@ def transcripts_sql(d: Dialect, events_rel: str = "events") -> str:
         "CASE WHEN lvl = 'ERROR' THEN 'E' WHEN lvl = 'FATAL' THEN 'F' "
         "WHEN lvl IN ('WARN','WARNING') THEN 'W' ELSE 'I' END"
     )
-    json_line = (
+    # k8s-style open label map (three keys; oracle queries know this shape).
+    # "sev" is constant within a dedup cluster (level is part of the cluster
+    # fingerprint) so the A6 intersection has survivors; app/tier vary.
+    labelobj = (
+        "'{\"app\":\"' || service || '\",\"sev\":\"' || lower(lvl) ||"
+        " '\",\"tier\":\"' || role || '\"}'"
+    )
+    # direct LogEntry shape, canonical key order, labels path 1. The
+    # ' via api' suffix keeps direct-JSON messages in their own dedup
+    # clusters, so the A6 label-intersection has all-labeled clusters to
+    # act on (mixed clusters faithfully intersect to empty).
+    json_a = (
         "'{\"level\":\"' || lvl || '\",\"service\":\"' || service || "
-        "'\",\"message\":\"' || msg || '\"}'"
+        "'\",\"message\":\"' || msg_j || ' via api\"'"
+        " || CASE WHEN lvl = 'DEBUG' THEN '' ELSE ',\"labels\":' || labelobj END"
+        " || '}'"
+    )
+    # direct shape, REORDERED keys, labels path 2 (kubernetes_labels)
+    json_b = (
+        "'{\"message\":\"' || msg_j || ' via api\",\"service\":\"' || service || "
+        "'\",\"level\":\"' || lvl || '\"'"
+        " || CASE WHEN lvl = 'DEBUG' THEN '' ELSE ',\"kubernetes_labels\":' || labelobj END"
+        " || '}'"
+    )
+    # Fluent Bit dual-format shape: float epoch date (P6 heuristic),
+    # level embedded in the log line, labels path 3 (kubernetes.labels)
+    json_fb = (
+        f"'{{\"date\":' || CAST({d.epoch_s('ts')} AS {S}) || '.25'"
+        " || ',\"log\":\"' || lvl || ' ' || msg_j || '\"'"
+        " || ',\"source\":\"' || service || '\"'"
+        " || ',\"kubernetes\":{\"labels\":' || labelobj || '}}'"
     )
     klog_line = (
         f"{klog_char} || {d.fmt_mmdd('ts')} || ' ' || {d.fmt_hms('ts')} || "
@@ -116,7 +162,9 @@ def transcripts_sql(d: Dialect, events_rel: str = "events") -> str:
         "CASE WHEN event_id % 97 = 0 THEN '' "
         "WHEN event_id % 83 = 0 THEN '???unparseable???' "
         "WHEN event_id % 3 = 0 THEN ts_str || ' ' || lvl || ' [' || service || '] ' || msg "
-        f"WHEN event_id % 3 = 1 THEN {json_line} "
+        f"WHEN event_id % 9 = 1 THEN {json_a} "
+        f"WHEN event_id % 9 = 4 THEN {json_b} "
+        f"WHEN event_id % 9 = 7 THEN {json_fb} "
         f"ELSE {klog_line} END"
     )
     tool = (
@@ -135,16 +183,20 @@ WITH ev AS (
   SELECT event_id, ts, user_id, event_type, value, turn_idx,
          {lvl} AS lvl,
          'svc-' || CAST(user_id % 8 AS {S}) AS service,
+         CASE CAST(turn_idx % 4 AS INT) WHEN 0 THEN 'user' WHEN 1 THEN 'assistant'
+              WHEN 2 THEN 'system' ELSE 'tool' END AS role,
          {msg} AS msg
   FROM ev
 ), base2 AS (
-  SELECT *, {ts_str} AS ts_str FROM base
+  SELECT *, {ts_str} AS ts_str,
+         replace(msg, chr(34), chr(92) || chr(34)) AS msg_j,
+         {labelobj} AS labelobj
+  FROM base
 )
 SELECT
   'conv-' || LPAD(CAST(user_id AS {S}), 9, '0') AS conv_id,
   turn_idx,
-  CASE CAST(turn_idx % 4 AS INT) WHEN 0 THEN 'user' WHEN 1 THEN 'assistant'
-       WHEN 2 THEN 'system' ELSE 'tool' END AS role,
+  role,
   {text} AS text,
   {tool} AS tool,
   ts
