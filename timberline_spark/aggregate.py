@@ -27,7 +27,7 @@ Reference semantics re-expressed as single-shuffle Spark plans:
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 from .dicts import LEVEL_META, SEVERITY_BUCKETS
@@ -92,6 +92,34 @@ def dedup_turns(kept: DataFrame) -> DataFrame:
         "duplicate_count",
         "first_ts_ms",
         "last_ts_ms",
+    )
+
+
+def dedup_examples(kept: DataFrame, n_examples: int = 3) -> DataFrame:
+    """First-N-examples dedup retention (milvus.go:374-397 with
+    MIN_EXAMPLES_BEFORE_EXCLUSION=3, config.go:46): the first 3 occurrences
+    of each duplicate group stay stored as examples; later occurrences only
+    count. The window partitions on the high-cardinality dedup_key (never a
+    global sort), so it parallelizes at any scale."""
+    df = kept.withColumn("dedup_key", F.lower(F.col("message")))
+    order = [F.col("effective_ts_ms"), F.col("conv_id"), F.col("turn_idx")]
+    w = Window.partitionBy("dedup_key").orderBy(*order)
+    wc = Window.partitionBy("dedup_key")
+    return (
+        df.withColumn("example_rank", F.row_number().over(w))
+        .withColumn("duplicate_count", F.count(F.lit(1)).over(wc))
+        .filter(F.col("example_rank") <= n_examples)
+        .select(
+            "dedup_key",
+            "example_rank",
+            "conv_id",
+            "turn_idx",
+            "level",
+            "service",
+            "message",
+            F.col("effective_ts_ms").alias("ts_ms"),
+            "duplicate_count",
+        )
     )
 
 

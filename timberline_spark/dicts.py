@@ -132,6 +132,21 @@ def severity_dict_rows() -> list[tuple[str, str, str, int, bool, bool]]:
     return rows
 
 
+def level_defaults(level: str) -> dict:
+    """The enrichment attributes a canonical level implies — used for the
+    reference's default-INFO fallback (log.go:66-86)."""
+    meta = {lv: sc for lv, _, sc in LEVEL_META}
+    score = meta[level]
+    bucket = next(b for lo, hi, b, _ in SEVERITY_BUCKETS if lo <= score <= hi)
+    return {
+        "level": level,
+        "severity": bucket,
+        "severity_score": score,
+        "is_error": level in ("ERROR", "CRITICAL"),
+        "is_warning": level == "WARNING",
+    }
+
+
 def severity_df(spark: SparkSession) -> DataFrame:
     return spark.createDataFrame(
         severity_dict_rows(),

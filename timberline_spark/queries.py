@@ -200,6 +200,99 @@ def q_common_labels(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_dedup_examples(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-3-examples dedup retention (milvus.go:374-397): stored example
+    rows per duplicate group, each carrying the group's duplicate_count."""
+    return agg.dedup_examples(route.kept_turns(_classified(spark, sf_dir)))
+
+
+def q_level_info_default(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P8 under REFERENCE semantics (log.go:66-86): parsed-but-unknown
+    levels (e.g. NOTICE) fall back to INFO instead of anomaly routing; the
+    per-level valid/kept counts expose the exact routed-row delta vs the
+    default strict policy."""
+    tr = load_transcripts(spark, sf_dir)
+    df = route.classify_turns(
+        enrich_turns(spark, parse_turns(tr), unknown_level_to_info=True)
+    )
+    return (
+        df.filter(F.col("is_valid"))
+        .groupBy("level", "severity")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.when(F.col("kept"), 1).otherwise(0)).alias("kept_n"),
+        )
+    )
+
+
+# fixed API parameters for the registered query (the operator itself is
+# parameterized): one week of data, one service, the API's default limit
+API_T0_MS = 1_704_412_800_000  # 2024-01-05T00:00:00Z
+API_T1_MS = 1_705_017_600_000  # 2024-01-12T00:00:00Z
+API_SERVICE = "svc-3"
+
+
+def q_api_logs(spark: SparkSession, sf_dir: str, limit: int = 100) -> DataFrame:
+    """GET /api/v1/logs analog (api/routes/logs.py:13-85): time-range +
+    dimension equality filter + recency limit. The reference applies the
+    namespace/pod filters in Python AFTER the store fetch (logs.py:44-57, an
+    anti-pattern SURVEY §4 flags); here they are DataFrame filters pushed
+    into the scan, and the limit plans TakeOrderedAndProject."""
+    kept = route.kept_turns(_classified(spark, sf_dir))
+    return (
+        kept.filter(
+            (F.col("effective_ts_ms") >= API_T0_MS)
+            & (F.col("effective_ts_ms") < API_T1_MS)
+            & (F.col("service") == API_SERVICE)
+        )
+        .orderBy(F.col("effective_ts_ms").desc(), "conv_id", "turn_idx")
+        .limit(limit)
+        .select(
+            "conv_id", "turn_idx",
+            F.col("effective_ts_ms").alias("ts_ms"),
+            "level", "service", "message",
+        )
+    )
+
+
+def _scored(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = agg.dedup_turns(route.kept_turns(_classified(spark, sf_dir)))
+    return agg.score_clusters(agg.report_buckets(d))
+
+
+def q_recent_reports(spark: SparkSession, sf_dir: str, n: int = 5) -> DataFrame:
+    """L2: ORDER BY generated_at DESC LIMIT n over the reports table
+    (analysis_results_store.py:192-194); the cluster's last_ts_ms plays
+    generated_at in the batch analog."""
+    return (
+        _scored(spark, sf_dir)
+        .orderBy(F.col("last_ts_ms").desc(), "fingerprint")
+        .limit(n)
+        .select("fingerprint", "cluster_severity", "cluster_score", "last_ts_ms")
+    )
+
+
+def q_top20_clusters(spark: SparkSession, sf_dir: str, n: int = 20) -> DataFrame:
+    """W4: clusters[:20] cap for the LLM prompt / API response
+    (llm/client.py:316, api/routes/analyses.py:65)."""
+    return (
+        _scored(spark, sf_dir)
+        .orderBy(
+            F.col("cluster_score").desc(),
+            F.col("total_log_count").desc(),
+            F.col("fingerprint"),
+        )
+        .limit(n)
+        .select(
+            "fingerprint",
+            "cluster_severity",
+            "cluster_score",
+            "total_log_count",
+            "error_count",
+        )
+    )
+
+
 def q_flexible_ts(spark: SparkSession, sf_dir: str) -> DataFrame:
     """P5/P6: the flexible-timestamp parse applied to the plain-grammar ts
     strings plus numeric epoch strings derived from the row ts."""
@@ -258,6 +351,11 @@ PIPELINE_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "label_canon": q_label_canon,
     "common_labels": q_common_labels,
     "flexible_ts": q_flexible_ts,
+    "dedup_examples": q_dedup_examples,
+    "level_info_default": q_level_info_default,
+    "api_logs": q_api_logs,
+    "recent_reports": q_recent_reports,
+    "top20_clusters": q_top20_clusters,
 }
 
 

@@ -321,6 +321,88 @@ FROM (
     )
 
 
+def q_dedup_examples(d: Dialect = DUCKDB, n_examples: int = 3) -> str:
+    return _q(
+        d,
+        f"""SELECT dedup_key, example_rank, conv_id, turn_idx, level, service,
+       message, ts_ms, duplicate_count
+FROM (
+  SELECT LOWER(message) AS dedup_key,
+         ROW_NUMBER() OVER (PARTITION BY LOWER(message)
+           ORDER BY effective_ts_ms, conv_id, turn_idx) AS example_rank,
+         COUNT(*) OVER (PARTITION BY LOWER(message)) AS duplicate_count,
+         conv_id, turn_idx, level, service, message,
+         effective_ts_ms AS ts_ms
+  FROM kept
+) x WHERE example_rank <= {n_examples}""",
+    )
+
+
+def q_level_info_default(d: Dialect = DUCKDB) -> str:
+    """P8 reference semantics: an independent enrich->classify->route chain
+    where a parsed-but-unknown level coalesces to INFO (log.go:66-86)."""
+    info = dicts.level_defaults("INFO")
+    keep_levels = ",".join(f"'{v}'" for v in ("ERROR", "CRITICAL", "WARNING"))
+    h100 = dicts.hash100_sql("conv_num", "turn_idx")
+    return _q(
+        d,
+        f"""SELECT level, severity, COUNT(*) AS n,
+       CAST(SUM(CASE WHEN keep_level OR keep_sampled THEN 1 ELSE 0 END) AS BIGINT) AS kept_n
+FROM (
+  SELECT *,
+    (anomaly_reason IS NULL) AS is_valid,
+    (anomaly_reason IS NULL AND level IN ({keep_levels})) AS keep_level,
+    (anomaly_reason IS NULL AND level NOT IN ({keep_levels})
+      AND {h100} < {dicts.SAMPLING_RATE_PCT}) AS keep_sampled
+  FROM (
+    SELECT p.*, COALESCE(severity_dict.level, '{info["level"]}') AS level,
+           COALESCE(severity_dict.severity, '{info["severity"]}') AS severity,
+           COALESCE(text_ts_ms, {d.epoch_ms("ts")}) AS eff_ms,
+      CASE WHEN text = '' THEN 'empty_text'
+           WHEN p.level_raw IS NULL THEN 'unparseable_ts'
+           WHEN message = '' THEN 'empty_message'
+           WHEN COALESCE(text_ts_ms, {d.epoch_ms("ts")}) < {dicts.TS_LOW_MS}
+             OR COALESCE(text_ts_ms, {d.epoch_ms("ts")}) > {dicts.TS_HIGH_MS}
+             THEN 'invalid_bounds' END AS anomaly_reason
+    FROM parsed p
+    LEFT JOIN {dicts.severity_dict_values_sql()} ON p.level_raw = severity_dict.level_raw
+  ) e
+) f WHERE is_valid GROUP BY 1, 2""",
+    )
+
+
+def q_api_logs(d: Dialect = DUCKDB, limit: int = 100) -> str:
+    from .queries import API_SERVICE, API_T0_MS, API_T1_MS
+
+    return _q(
+        d,
+        "SELECT conv_id, turn_idx, effective_ts_ms AS ts_ms,"
+        " level, service, message FROM kept"
+        f" WHERE effective_ts_ms >= {API_T0_MS}"
+        f" AND effective_ts_ms < {API_T1_MS}"
+        f" AND service = '{API_SERVICE}'"
+        f" ORDER BY effective_ts_ms DESC, conv_id, turn_idx LIMIT {limit}",
+    )
+
+
+def q_recent_reports(d: Dialect = DUCKDB, n: int = 5) -> str:
+    return _q(
+        d,
+        "SELECT fingerprint, cluster_severity, cluster_score, last_ts_ms"
+        f" FROM scored ORDER BY last_ts_ms DESC, fingerprint LIMIT {n}",
+    )
+
+
+def q_top20_clusters(d: Dialect = DUCKDB, n: int = 20) -> str:
+    return _q(
+        d,
+        "SELECT fingerprint, cluster_severity, cluster_score,"
+        " total_log_count, error_count FROM scored"
+        " ORDER BY cluster_score DESC, total_log_count DESC, fingerprint"
+        f" LIMIT {n}",
+    )
+
+
 def q_stream_window_counts(d: Dialect = DUCKDB) -> str:
     """Tumbling 1h window counts (Spark window() aligns to epoch hours ==
     date_trunc('hour') for whole-hour windows)."""
