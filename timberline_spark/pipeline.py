@@ -253,7 +253,14 @@ def run_pipeline(
             for p in todo
         ]
 
-    # ---- stage 2: sink fan-out from the checkpointed stage table ----------
+    # ---- stage 2+3: sink fan-out and report aggregation, CONCURRENT -------
+    # The three sink writes and the dedup/buckets job are independent reads
+    # of the same stage table; submitting them from driver threads (Spark's
+    # scheduler is thread-safe; session.py enables FAIR mode) lets the small
+    # sink jobs fill executor slots the wide dedup shuffle leaves idle —
+    # the serial driver tail becomes one barrier instead of six queued jobs.
+    from concurrent.futures import ThreadPoolExecutor
+
     stage_df = spark.read.parquet(f"{out_dir}/{STAGE_CLASSIFIED}")
     counts: dict[str, int] = {}
     sink_builders = {
@@ -261,39 +268,59 @@ def run_pipeline(
         "sink_tool_calls": route.tool_calls_sink,
         "sink_anomalies": route.anomalies_sink,
     }
-    for sink, builder in sink_builders.items():
-        t_stage = time.time()
+
+    def _write_sink(sink: str, builder) -> float:
+        t_s = time.time()
         out = builder(stage_df).withColumn("run_id", F.lit(run_id)).withColumn(
             "p_date", _p_date("ts_ms")
         )
         out.write.mode("overwrite").partitionBy("p_date").parquet(f"{out_dir}/{sink}")
-        n = int(flag_counts[sink])
-        counts[sink] = n
-        metrics_rows.append((run_id, sink, "*", None, n, None, time.time() - t_stage))
+        return time.time() - t_s
 
-    # ---- stage 3: dedup + report aggregation ------------------------------
-    # the dedup shuffle runs ONCE: scored buckets are persisted in memory
-    # while being written, and top-issues + summary + the JSON report doc
-    # all derive from the cached frame — no parquet read-backs, no extra
-    # .count() jobs (clusters_found comes out of the summary row). The
-    # serial driver tail here is 3 small jobs regardless of data size.
+    def _write_buckets():
+        # the dedup shuffle runs ONCE: scored buckets are persisted in
+        # memory while being written, and top-issues + summary + the JSON
+        # report doc all derive from the cached frame — no parquet
+        # read-backs, no extra .count() jobs
+        t_s = time.time()
+        deduped = agg.dedup_turns(route.kept_turns(stage_df))
+        scored = agg.score_clusters(agg.report_buckets(deduped)).persist()
+        scored.withColumn("run_id", F.lit(run_id)).write.mode("overwrite").parquet(
+            f"{out_dir}/report_buckets"
+        )
+        top = agg.top_issues(scored)
+        top_rows = top.collect()  # <= TOP_ISSUES_N rows by construction
+        summary_df = agg.run_summary(scored)
+        summary_row = summary_df.collect()[0]
+        with ThreadPoolExecutor(2) as ex2:
+            f1 = ex2.submit(
+                lambda: spark.createDataFrame(top_rows, top.schema)
+                .withColumn("run_id", F.lit(run_id))
+                .coalesce(1)
+                .write.mode("overwrite")
+                .parquet(f"{out_dir}/top_issues")
+            )
+            f2 = ex2.submit(
+                lambda: spark.createDataFrame([summary_row], summary_df.schema)
+                .withColumn("run_id", F.lit(run_id))
+                .coalesce(1)
+                .write.mode("overwrite")
+                .parquet(f"{out_dir}/report_summary")
+            )
+            f1.result(), f2.result()
+        scored.unpersist()
+        return top_rows, summary_row, time.time() - t_s
+
     t_stage = time.time()
-    deduped = agg.dedup_turns(route.kept_turns(stage_df))
-    scored = agg.score_clusters(agg.report_buckets(deduped)).persist()
-    scored.withColumn("run_id", F.lit(run_id)).write.mode("overwrite").parquet(
-        f"{out_dir}/report_buckets"
-    )
-    top = agg.top_issues(scored)
-    top_rows = top.collect()  # <= TOP_ISSUES_N rows by construction
-    spark.createDataFrame(top_rows, top.schema).withColumn(
-        "run_id", F.lit(run_id)
-    ).coalesce(1).write.mode("overwrite").parquet(f"{out_dir}/top_issues")
-    summary_df = agg.run_summary(scored)
-    summary_row = summary_df.collect()[0]
-    spark.createDataFrame([summary_row], summary_df.schema).withColumn(
-        "run_id", F.lit(run_id)
-    ).coalesce(1).write.mode("overwrite").parquet(f"{out_dir}/report_summary")
-    scored.unpersist()
+    with ThreadPoolExecutor(len(sink_builders) + 1) as ex:
+        sink_futs = {s: ex.submit(_write_sink, s, b) for s, b in sink_builders.items()}
+        buckets_fut = ex.submit(_write_buckets)
+        for sink, fut in sink_futs.items():
+            el = fut.result()
+            n = int(flag_counts[sink])
+            counts[sink] = n
+            metrics_rows.append((run_id, sink, "*", None, n, None, el))
+        top_rows, summary_row, _ = buckets_fut.result()
     counts["report_buckets"] = int(summary_row["clusters_found"])
     counts["top_issues"] = len(top_rows)
     counts["report_summary"] = 1

@@ -44,6 +44,10 @@ def get_spark(
         .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEM", "8g"))
         .config("spark.ui.enabled", "false")
         .config("spark.sql.sources.partitionOverwriteMode", "dynamic")
+        # the pipeline submits independent sink/report writes from multiple
+        # driver threads; FAIR scheduling lets small jobs fill idle slots
+        # instead of queueing behind a wide stage's stragglers
+        .config("spark.scheduler.mode", "FAIR")
     )
     for k, v in (extra_conf or {}).items():
         b = b.config(k, v)

@@ -68,12 +68,112 @@ def stream_level_counts(
 def run_available_now(
     spark: SparkSession, src_dir: str, checkpoint_dir: str, query_name: str
 ) -> DataFrame:
-    """Drain the source with AvailableNow into a memory sink; return result."""
+    """Drain the source with AvailableNow into a memory sink; return result.
+
+    Runs in COMPLETE output mode, where the watermark never evicts state or
+    drops late rows — every window stays live, which is what makes the
+    batch-parity check exact. Late/early-data REJECTION here is the
+    validity-bounds filter inside classify_turns (the reference's actual
+    rule, log.go:51-63); the watermark declared in stream_level_counts only
+    bounds state when the same query runs in append/update mode on a real
+    sink."""
     q = (
         stream_level_counts(spark, src_dir, checkpoint_dir)
         .writeStream.format("memory")
         .queryName(query_name)
         .outputMode("complete")
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.table(query_name)
+
+
+# ---- stateful streaming dedup (SURVEY §2.9d) ---------------------------------
+# The reference's similarity corpus grows as the stream progresses: the first
+# MIN_EXAMPLES_BEFORE_EXCLUSION=3 similar logs are stored as examples, later
+# ones only bump the count (milvus.go:374-397, config.go:46). The Structured
+# Streaming expression: applyInPandasWithState keyed on dedup_key, a per-key
+# seen-counter as state, emitting only rows whose arrival rank is <= 3.
+
+DEDUP_EXAMPLES_N = 3
+_DEDUP_OUT_SCHEMA = (
+    "dedup_key string, example_rank int, conv_id string, turn_idx int,"
+    " level string, message string, ts_ms long"
+)
+_DEDUP_STATE_SCHEMA = "seen long"
+
+
+def _dedup_examples_fn(key, pdfs, state):
+    import pandas as pd
+
+    (dedup_key,) = key
+    seen = state.get[0] if state.exists else 0
+    rows = pd.concat(list(pdfs), ignore_index=True).sort_values(
+        ["ts_ms", "conv_id", "turn_idx"]
+    )
+    out = []
+    for r in rows.itertuples(index=False):
+        seen += 1
+        if seen <= DEDUP_EXAMPLES_N:
+            out.append(
+                (dedup_key, int(seen), r.conv_id, int(r.turn_idx), r.level,
+                 r.message, int(r.ts_ms))
+            )
+    state.update((seen,))
+    yield pd.DataFrame(
+        out,
+        columns=["dedup_key", "example_rank", "conv_id", "turn_idx", "level",
+                 "message", "ts_ms"],
+    )
+
+
+def stream_dedup_examples(
+    spark: SparkSession, src_dir: str, max_files_per_trigger: int = 8
+) -> DataFrame:
+    """Streaming first-3-examples dedup. Arrival order is the stream's rank
+    order (the reference's semantics); within one micro-batch, ties resolve
+    by (ts_ms, conv_id, turn_idx) so a single-batch drain equals the batch
+    dedup_examples operator exactly."""
+    from pyspark.sql.streaming.state import GroupStateTimeout
+
+    stream = (
+        spark.readStream.schema(TRANSCRIPT_SCHEMA)
+        .option("maxFilesPerTrigger", max_files_per_trigger)
+        .parquet(src_dir)
+    )
+    classified = classify_turns(enrich_turns(spark, parse_turns(stream)))
+    kept = classified.filter(F.col("kept")).select(
+        F.lower(F.col("message")).alias("dedup_key"),
+        "conv_id",
+        "turn_idx",
+        "level",
+        "message",
+        F.col("effective_ts_ms").alias("ts_ms"),
+    )
+    return kept.groupBy("dedup_key").applyInPandasWithState(
+        _dedup_examples_fn,
+        _DEDUP_OUT_SCHEMA,
+        _DEDUP_STATE_SCHEMA,
+        "append",
+        GroupStateTimeout.NoTimeout,
+    )
+
+
+def run_dedup_examples_available_now(
+    spark: SparkSession,
+    src_dir: str,
+    checkpoint_dir: str,
+    query_name: str,
+    max_files_per_trigger: int = 8,
+) -> DataFrame:
+    """Drain the stateful dedup with AvailableNow into a memory sink."""
+    q = (
+        stream_dedup_examples(spark, src_dir, max_files_per_trigger)
+        .writeStream.format("memory")
+        .queryName(query_name)
+        .outputMode("append")
         .option("checkpointLocation", checkpoint_dir)
         .trigger(availableNow=True)
         .start()
