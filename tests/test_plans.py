@@ -72,6 +72,19 @@ def test_dedup_aggregates_map_side(spark, stage_table):
     assert "Window" not in plan
 
 
+def test_parse_plan_has_single_from_json(spark):
+    """The JSON parse must run ONCE per row: the parsed struct is a shared
+    non-cheap alias (`_j`), which CollapseProject keeps un-inlined. Round 2
+    shipped 25 JsonToStructs copies in this plan (one per extracted field) —
+    a measured 2x parse-stage cost at sf0.1."""
+    from timberline_spark import queries as Q
+
+    for name in ("parse", "kept_rows"):
+        df = Q.PIPELINE_QUERIES[name](spark, SF_TINY)
+        plan = df._jdf.queryExecution().optimizedPlan().toString()
+        assert plan.count("from_json") == 1, (name, plan.count("from_json"))
+
+
 def test_classify_is_single_stage_no_shuffle(spark, stage_table):
     """parse+enrich+validate+route is map-only over the input scan: the
     whole per-row path is one stage (broadcasts aside)."""

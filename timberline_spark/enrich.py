@@ -45,9 +45,12 @@ def enrich_turns(
     if unknown_level_to_info:
         info = dicts.level_defaults("INFO")
         # snapshot the predicate BEFORE overwriting `level` — withColumn is
-        # lazy, so a condition on F.col("level") would see the updated column
+        # lazy, so a condition on F.col("level") would see the updated column.
+        # Keyed on grammar, not level_raw: a parsed direct-JSON line with no
+        # `level` key (grammar='json', level_raw null) also defaults to INFO
+        # (log.go:66-86 GetLevel on a missing level).
         out = out.withColumn(
-            "_unknown_level", F.col("level_raw").isNotNull() & F.col("level").isNull()
+            "_unknown_level", F.col("grammar").isNotNull() & F.col("level").isNull()
         )
         for col, default in info.items():
             out = out.withColumn(

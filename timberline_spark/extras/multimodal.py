@@ -56,12 +56,22 @@ def attach_binary(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _fake_features(payload: bytes) -> list[float]:
-    """Deterministic stand-in for a real decoder: per-stride byte means."""
+    """Deterministic stand-in for a real decoder: per-stride byte means,
+    FLOORED to 4 decimals: floor(sum*10^4/len)/10^4.
+
+    Floor, not round: a mean like k + 2/64 sits exactly on a 4-decimal
+    half-tie where Python (half-even) and SQL ROUND (half-away) disagree;
+    floor is tie-free, so the DuckDB oracle reproduces the value
+    bit-identically (sum*10^4 < 2^53 keeps every step exact in double).
+    """
     arr = np.frombuffer(payload, dtype=np.uint8)
     if arr.size == 0:
         return [0.0] * N_FEATURES
-    chunks = np.array_split(arr.astype(np.float64), N_FEATURES)
-    return [float(round(c.mean() if c.size else 0.0, 4)) for c in chunks]
+    chunks = np.array_split(arr.astype(np.int64), N_FEATURES)
+    return [
+        float(np.floor(float(c.sum()) * 10000.0 / c.size) / 10000.0) if c.size else 0.0
+        for c in chunks
+    ]
 
 
 def decode_features(df: DataFrame, real_decode: bool = False) -> DataFrame:
@@ -122,6 +132,72 @@ def frame_sample(df: DataFrame, every: int = 4) -> DataFrame:
         .select("doc_id", F.explode(F.transform(idxs, _frame_lambda)).alias("f"))
         .select("doc_id", "f.frame_idx", "f.frame")
     )
+
+
+def feature_scalars(df: DataFrame) -> DataFrame:
+    """Scalar view of decode_features for the driver's value-hash check:
+    one (doc_id, modality, n_bytes, feature_idx, value) row per feature.
+
+    ``value`` is round(cast(float32 -> double), 4): the fake decoder's
+    4-decimal floor survives the float32 round-trip exactly (max byte mean
+    < 256 -> float32 abs error < 3.1e-5 < half-grid 5e-5), so the recovered
+    double equals the oracle's FLOOR(...)/10^4 bit-for-bit.
+    """
+    return decode_features(df).select(
+        "doc_id",
+        "modality",
+        "n_bytes",
+        F.posexplode("features").alias("feature_idx", "fvalue"),
+    ).select(
+        "doc_id",
+        "modality",
+        "n_bytes",
+        "feature_idx",
+        F.round(F.col("fvalue").cast("double"), 4).alias("value"),
+    )
+
+
+def oracle_features() -> str:
+    """DuckDB oracle for the stride byte-mean fake decoder: bytes via the
+    hex encoding (like oracle_frame_sample), numpy.array_split chunking as
+    closed-form index arithmetic (first n%8 chunks get one extra byte),
+    then the same tie-free FLOOR(sum*10^4/len)/10^4."""
+    nf = N_FEATURES
+    return f"""
+WITH p AS (
+  SELECT doc_id, hex(encode(text)) AS hx,
+         octet_length(encode(text)) AS n
+  FROM documents
+), b AS (
+  SELECT doc_id, n, hx, unnest(range(0, n)) AS pos FROM p
+), v AS (
+  SELECT doc_id, n, pos,
+    (strpos('0123456789ABCDEF', substr(hx, CAST(pos*2+1 AS INT), 1)) - 1) * 16
+    + (strpos('0123456789ABCDEF', substr(hx, CAST(pos*2+2 AS INT), 1)) - 1) AS byte
+  FROM b
+), chunked AS (
+  SELECT doc_id, byte,
+    CASE WHEN pos < (n % {nf}) * ((n // {nf}) + 1)
+         THEN pos // ((n // {nf}) + 1)
+         ELSE (n % {nf}) + (pos - (n % {nf}) * ((n // {nf}) + 1))
+              // greatest(n // {nf}, 1)
+    END AS fi
+  FROM v
+), sums AS (
+  SELECT doc_id, fi, SUM(byte) AS s, COUNT(*) AS m
+  FROM chunked GROUP BY doc_id, fi
+), grid AS (
+  SELECT doc_id, unnest(range(0, {nf})) AS feature_idx FROM p
+)
+SELECT g.doc_id,
+  CASE g.doc_id % 3 WHEN 0 THEN 'image' WHEN 1 THEN 'audio'
+       ELSE 'video' END AS modality,
+  p.n AS n_bytes,
+  CAST(g.feature_idx AS INT) AS feature_idx,
+  COALESCE(FLOOR(CAST(s.s AS DOUBLE) * 10000.0 / s.m) / 10000.0, 0.0) AS value
+FROM grid g
+JOIN p ON p.doc_id = g.doc_id
+LEFT JOIN sums s ON s.doc_id = g.doc_id AND s.fi = g.feature_idx"""
 
 
 def oracle_frame_sample(every: int = 4) -> str:

@@ -59,7 +59,12 @@ RE_KLOG = (
     r"^([IEWF])([0-9]{4}) ([0-9]{2}:[0-9]{2}:[0-9]{2})\.[0-9]{6} 1 "
     r"([A-Za-z0-9-]+)\.go:([0-9]+)] (.*)$"
 )
-RE_FB_LOG = r"^([A-Z]+) (.*)$"  # level prefix inside the Fluent Bit log field
+# level prefix inside the Fluent Bit log field. (?s) (DOTALL) is embedded in
+# the pattern so all three engines (Java regex, Python re, DuckDB/RE2) agree
+# that a log field containing a newline still parses as fluentbit grammar —
+# without it the native path would route newline-bearing logs to anomalies
+# while the pandas path accepted them.
+RE_FB_LOG = r"(?s)^([A-Z]+) (.*)$"
 RE_CONV_NUM = r"^conv-([0-9]+)$"
 
 TS_FMT = "yyyy-MM-dd HH:mm:ss"
@@ -107,7 +112,12 @@ def flexible_ts_ms(c: Column) -> Column:
 
 
 def seconds_heuristic_ms(num: Column) -> Column:
-    """P6: numeric timestamp < 1e12 is seconds -> millis (stream.go:77-90)."""
+    """P6: numeric timestamp < 1e12 is seconds -> millis.
+
+    Applies to the ALTERNATE numeric ``timestamp`` surface (stream.go:77-90
+    applies the <1e12 heuristic there); the Fluent Bit ``date`` field is
+    always seconds and is multiplied unconditionally (stream.go
+    transformToLogEntry), handled inline in the parse paths."""
     return F.when(num < 1e12, (num * 1000).cast("long")).otherwise(
         num.cast("long")
     )
@@ -138,20 +148,45 @@ def parse_turns(df: DataFrame, impl: str = "native") -> DataFrame:
 
 def _parse_native(df: DataFrame) -> DataFrame:
     t = F.col("text")
-    j = F.when(t.startswith("{"), F.from_json(t, JSON_SCHEMA))
+    # Materialize the parsed JSON struct ONCE as a named column and extract
+    # every field from it. Building each derived column from a shared Python
+    # `Column` object would embed an independent JsonToStructs copy per use
+    # (25 in the round-2 optimized plan — measured 2x parse cost at sf0.1);
+    # as a non-cheap multi-referenced alias, CollapseProject keeps this one
+    # un-inlined, so the optimized plan carries exactly 1 JsonToStructs
+    # (asserted in tests/test_plans.py).
+    df = df.withColumn("_j", F.when(t.startswith("{"), F.from_json(t, JSON_SCHEMA)))
+    j = F.col("_j")
     plain_lvl = _nullif_empty(F.regexp_extract(t, RE_PLAIN, 2))
     json_lvl = j["level"]
     fb_lvl = F.when(
         j["log"].isNotNull(), _nullif_empty(F.regexp_extract(j["log"], RE_FB_LOG, 1))
     )
     klog_char = _nullif_empty(F.regexp_extract(t, RE_KLOG, 1))
-    grammar = (
-        F.when(plain_lvl.isNotNull(), "plain")
-        .when(json_lvl.isNotNull(), "json")
-        .when(fb_lvl.isNotNull(), "fluentbit")
-        .when(klog_char.isNotNull(), "klog")
+    # Grammar lanes. Direct-shape JSON is accepted whenever it carries a
+    # non-empty message — the reference's direct parse requires only
+    # Message != "" and defaults a missing level to INFO later
+    # (stream.go:60-67, log.go:66-86) — so `level` may be absent and
+    # level_raw null while grammar is still 'json'; the INFO-default path
+    # in enrich_turns covers the missing level.
+    cond_plain = plain_lvl.isNotNull()
+    cond_json = json_lvl.isNotNull() | (
+        _nullif_empty(j["message"]).isNotNull() & j["log"].isNull()
     )
-    level_raw = F.coalesce(plain_lvl, json_lvl, fb_lvl, klog_char)
+    cond_fb = fb_lvl.isNotNull()
+    cond_klog = klog_char.isNotNull()
+    grammar = (
+        F.when(cond_plain, "plain")
+        .when(cond_json, "json")
+        .when(cond_fb, "fluentbit")
+        .when(cond_klog, "klog")
+    )
+    level_raw = (
+        F.when(cond_plain, plain_lvl)
+        .when(cond_json, json_lvl)
+        .when(cond_fb, fb_lvl)
+        .when(cond_klog, klog_char)
+    )
     # direct shape carries `service`, Fluent Bit shape carries `source`
     service = F.coalesce(
         _nullif_empty(F.regexp_extract(t, RE_PLAIN, 3)),
@@ -160,20 +195,22 @@ def _parse_native(df: DataFrame) -> DataFrame:
         _nullif_empty(F.regexp_extract(t, RE_KLOG, 4)),
     )
     message = (
-        F.when(plain_lvl.isNotNull(), F.regexp_extract(t, RE_PLAIN, 4))
-        .when(json_lvl.isNotNull(), j["message"])
-        .when(fb_lvl.isNotNull(), F.regexp_extract(j["log"], RE_FB_LOG, 2))
-        .when(klog_char.isNotNull(), F.regexp_extract(t, RE_KLOG, 6))
+        F.when(cond_plain, F.regexp_extract(t, RE_PLAIN, 4))
+        .when(cond_json, j["message"])
+        .when(cond_fb, F.regexp_extract(j["log"], RE_FB_LOG, 2))
+        .when(cond_klog, F.regexp_extract(t, RE_KLOG, 6))
     )
-    # Flexible timestamp (P5/P6 analog): the plain grammar embeds a full
-    # wall-clock date; the Fluent Bit shape a float epoch (seconds-vs-millis
-    # heuristic). try_to_timestamp -> null on failure (no error).
+    # Flexible timestamp (P5 analog): the plain grammar embeds a full
+    # wall-clock date; the Fluent Bit `date` field is epoch SECONDS and is
+    # multiplied by 1000 unconditionally (stream.go transformToLogEntry —
+    # the <1e12 heuristic applies only to the alternate `timestamp` field,
+    # see seconds_heuristic_ms). try_to_timestamp -> null on failure.
     plain_ts = F.try_to_timestamp(
         _nullif_empty(F.regexp_extract(t, RE_PLAIN, 1)), F.lit(TS_FMT)
     )
     text_ts_ms = F.coalesce(
         F.unix_millis(plain_ts),
-        F.when(fb_lvl.isNotNull(), seconds_heuristic_ms(j["date"])),
+        F.when(cond_fb, (j["date"] * 1000).cast("long")),
     )
     # P15 label fallback chain (models/log.py:177-199)
     labels = F.coalesce(
@@ -186,6 +223,7 @@ def _parse_native(df: DataFrame) -> DataFrame:
         .withColumn("message", message)
         .withColumn("text_ts_ms", text_ts_ms)
         .withColumn("labels", labels)
+        .drop("_j")
     )
 
 
@@ -205,7 +243,7 @@ _GROK_SCHEMA = T.StructType(
 
 _C_PLAIN = re.compile(RE_PLAIN)
 _C_KLOG = re.compile(RE_KLOG)
-_C_FB = re.compile(RE_FB_LOG, re.DOTALL)
+_C_FB = re.compile(RE_FB_LOG)  # DOTALL comes from the inline (?s) flag
 
 
 def _grok_batch(texts: pd.Series) -> pd.DataFrame:
@@ -247,7 +285,9 @@ def _grok_batch(texts: pd.Series) -> pd.DataFrame:
     labels = parsed.map(_labels)
 
     has_plain = plain[1].notna()
-    has_json = j_lvl.notna() & ~has_plain
+    # direct-shape JSON: a level OR a non-empty message (absent level stays
+    # null and defaults to INFO downstream) — same lanes as _parse_native
+    has_json = (j_lvl.notna() | (j_msg.notna() & (j_msg != "") & j_log.isna())) & ~has_plain
     has_fb = fb_lvl.notna() & ~has_plain & ~has_json
     has_klog = klog[0].notna() & ~has_plain & ~has_json & ~has_fb
 
@@ -270,10 +310,12 @@ def _grok_batch(texts: pd.Series) -> pd.DataFrame:
         plain[0].where(has_plain), format="%Y-%m-%d %H:%M:%S", errors="coerce"
     )
     ms = (ts - pd.Timestamp("1970-01-01")) / pd.Timedelta(milliseconds=1)
+    # `date` is always epoch seconds (stream.go transformToLogEntry
+    # multiplies unconditionally; no <1e12 heuristic on this field)
     fb_ms = j_date.map(
         lambda v: None
         if v is None or v != v  # None or NaN (pandas coerces None -> NaN)
-        else int(v * 1000) if v < 1e12 else int(v)
+        else int(v * 1000)
     )
     out["text_ts_ms"] = ms.astype("Int64").where(has_plain, fb_ms.where(has_fb))
     out["labels"] = labels

@@ -381,12 +381,10 @@ def _extra_registries():
         "emb_knn_brute": sim.emb_knn_brute,
         "emb_knn_lsh": sim.emb_knn_lsh,
         "emb_centroid_rep": sim.emb_centroid_rep,
-        # features serialized to JSON: the driver's canonicalizer sorts/hashes
-        # cell values and cannot handle list cells (array<float> stays the
-        # library-level API; the registered check uses the scalar view)
-        "multimodal_features": lambda s, d: mm.decode_features(
-            mm.attach_binary(s, d)
-        ).withColumn("features", F.to_json("features")),
+        # scalar (doc_id, feature_idx, value) view: array<float> stays the
+        # library-level API; the registered check explodes it so the driver
+        # can value-hash every feature against the DuckDB oracle
+        "multimodal_features": lambda s, d: mm.feature_scalars(mm.attach_binary(s, d)),
         "multimodal_frames": lambda s, d: mm.frame_sample(mm.attach_binary(s, d))
         .withColumn("frame", F.base64("frame")),
     }
@@ -404,9 +402,7 @@ def _extra_registries():
         "emb_knn_lsh": sim.oracle_knn_lsh(),
         "emb_centroid_rep": sim.oracle_centroid_rep(),
         "multimodal_frames": mm.oracle_frame_sample(),
-        # multimodal_features stays rows-only: the per-stride byte-mean fake
-        # decoder (numpy array_split over raw payload bytes) has no SQL
-        # equivalent — its exact semantics are pinned in tests/test_extras.py
+        "multimodal_features": mm.oracle_features(),
     }
     return queries, oracles
 

@@ -65,10 +65,13 @@ def classify_turns(df: DataFrame) -> DataFrame:
     df = df.withColumn("effective_ts_ms", eff)
     reason = (
         F.when(F.col("text") == "", "empty_text")
-        .when(F.col("level_raw").isNull(), "unparseable_ts")
+        # no grammar matched (level_raw may be null with grammar='json' —
+        # a direct-shape line with a message but no level key parses fine
+        # and only its level defaults downstream, log.go:66-86)
+        .when(F.col("grammar").isNull(), "unparseable_ts")
         # the reference rejects records whose parsed message is empty
         # (log.go:43-64 "message required")
-        .when(F.col("message") == "", "empty_message")
+        .when(F.col("message").isNull() | (F.col("message") == ""), "empty_message")
         .when(
             (F.col("effective_ts_ms") < TS_LOW_MS)
             | (F.col("effective_ts_ms") > TS_HIGH_MS),

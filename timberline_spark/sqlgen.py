@@ -67,10 +67,11 @@ def pipeline_ctes(d: Dialect, events_rel: str = "events") -> str:
     """The WITH-clause body shared by every oracle query."""
     keep_levels = ",".join(f"'{v}'" for v in ("ERROR", "CRITICAL", "WARNING"))
     h100 = dicts.hash100_sql("conv_num", "turn_idx")
+    m = d.mat
     return f"""
-WITH tr AS (
+WITH tr AS {m}(
 {transcripts_sql(d, events_rel)}
-), parsed0 AS (
+), parsed0 AS {m}(
   SELECT conv_id, turn_idx, role, tool, ts, text,
     CAST(regexp_extract(conv_id, '{_re(d, RE_CONV_NUM)}', 1) AS BIGINT) AS conv_num,
     NULLIF(regexp_extract(text, '{_re(d, RE_PLAIN)}', 2), '') AS plain_lvl,
@@ -96,27 +97,29 @@ WITH tr AS (
     NULLIF(regexp_extract(text, '{_re(d, RE_KLOG)}', 4), '') AS klog_svc,
     regexp_extract(text, '{_re(d, RE_KLOG)}', 6) AS klog_msg
   FROM (SELECT *, {_jtext(d)} AS jtext FROM tr) tj
-), parsed AS (
-  SELECT conv_id, turn_idx, role, tool, ts, text, conv_num,
-    lab_app, lab_sev, lab_tier,
+), parsed1 AS {m}(
+  SELECT *,
     CASE WHEN plain_lvl IS NOT NULL THEN 'plain'
-         WHEN json_lvl IS NOT NULL THEN 'json'
+         WHEN json_lvl IS NOT NULL
+           OR (NULLIF(json_msg, '') IS NOT NULL AND fb_log IS NULL) THEN 'json'
          WHEN fb_lvl IS NOT NULL THEN 'fluentbit'
-         WHEN klog_lvl IS NOT NULL THEN 'klog' END AS grammar,
-    COALESCE(plain_lvl, json_lvl, fb_lvl, klog_lvl) AS level_raw,
-    COALESCE(plain_svc, json_svc, fb_src, klog_svc) AS service,
-    CASE WHEN plain_lvl IS NOT NULL THEN plain_msg
-         WHEN json_lvl IS NOT NULL THEN json_msg
-         WHEN fb_lvl IS NOT NULL THEN regexp_extract(fb_log, '{_re(d, RE_FB_LOG)}', 2)
-         WHEN klog_lvl IS NOT NULL THEN klog_msg END AS message,
-    COALESCE({d.epoch_ms(d.try_parse_ts("plain_ts"))},
-             CASE WHEN fb_lvl IS NOT NULL THEN
-               CASE WHEN fb_date < 1e12 THEN CAST(fb_date * 1000 AS BIGINT)
-                    ELSE CAST(fb_date AS BIGINT) END
-             END) AS text_ts_ms
+         WHEN klog_lvl IS NOT NULL THEN 'klog' END AS grammar
   FROM (SELECT *, NULLIF(regexp_extract(fb_log, '{_re(d, RE_FB_LOG)}', 1), '') AS fb_lvl
         FROM parsed0) p0
-), enriched AS (
+), parsed AS {m}(
+  SELECT conv_id, turn_idx, role, tool, ts, text, conv_num,
+    lab_app, lab_sev, lab_tier, grammar,
+    CASE grammar WHEN 'plain' THEN plain_lvl WHEN 'json' THEN json_lvl
+         WHEN 'fluentbit' THEN fb_lvl WHEN 'klog' THEN klog_lvl END AS level_raw,
+    COALESCE(plain_svc, json_svc, fb_src, klog_svc) AS service,
+    CASE grammar WHEN 'plain' THEN plain_msg WHEN 'json' THEN json_msg
+         WHEN 'fluentbit' THEN regexp_extract(fb_log, '{_re(d, RE_FB_LOG)}', 2)
+         WHEN 'klog' THEN klog_msg END AS message,
+    COALESCE({d.epoch_ms(d.try_parse_ts("plain_ts"))},
+             CASE WHEN fb_lvl IS NOT NULL
+               THEN CAST(fb_date * 1000 AS BIGINT) END) AS text_ts_ms
+  FROM parsed1
+), enriched AS {m}(
   SELECT p.*, severity_dict.level, severity_dict.severity,
          severity_dict.severity_score, severity_dict.is_error,
          severity_dict.is_warning, tool_dict.tool_category,
@@ -125,28 +128,28 @@ WITH tr AS (
   LEFT JOIN {dicts.severity_dict_values_sql()} ON p.level_raw = severity_dict.level_raw
   LEFT JOIN {dicts.tool_dict_values_sql()} ON p.tool = tool_dict.tool
   LEFT JOIN {dicts.role_dict_values_sql()} ON p.role = role_dict.role
-), classified AS (
+), classified AS {m}(
   SELECT *,
     COALESCE(text_ts_ms, {d.epoch_ms("ts")}) AS effective_ts_ms,
     CASE WHEN text = '' THEN 'empty_text'
-         WHEN level_raw IS NULL THEN 'unparseable_ts'
-         WHEN message = '' THEN 'empty_message'
+         WHEN grammar IS NULL THEN 'unparseable_ts'
+         WHEN message IS NULL OR message = '' THEN 'empty_message'
          WHEN COALESCE(text_ts_ms, {d.epoch_ms("ts")}) < {dicts.TS_LOW_MS}
            OR COALESCE(text_ts_ms, {d.epoch_ms("ts")}) > {dicts.TS_HIGH_MS}
            THEN 'invalid_bounds'
          WHEN level IS NULL THEN 'unknown_level' END AS anomaly_reason,
     {h100} AS hash100
   FROM enriched
-), flagged AS (
+), flagged AS {m}(
   SELECT *,
     (anomaly_reason IS NULL) AS is_valid,
     (anomaly_reason IS NULL AND level IN ({keep_levels})) AS keep_level,
     (anomaly_reason IS NULL AND level NOT IN ({keep_levels})
       AND hash100 < {dicts.SAMPLING_RATE_PCT}) AS keep_sampled
   FROM classified
-), kept AS (
+), kept AS {m}(
   SELECT * FROM flagged WHERE keep_level OR keep_sampled
-), dedup AS (
+), dedup AS {m}(
   SELECT * FROM (
     SELECT LOWER(message) AS dedup_key, conv_id, turn_idx, level, severity,
            severity_score, is_error, is_warning, service, message,
@@ -158,7 +161,7 @@ WITH tr AS (
            MAX(effective_ts_ms) OVER (PARTITION BY LOWER(message)) AS last_ts_ms
     FROM kept
   ) x WHERE rn = 1
-), buckets AS (
+), buckets AS {m}(
   SELECT fingerprint,
          CAST(n_unique AS BIGINT) AS n_unique,
          total_log_count, error_count, warning_count,
@@ -188,7 +191,7 @@ WITH tr AS (
       FROM dedup dd
     ) f
   ) g WHERE rn2 = 1
-), scored AS (
+), scored AS {m}(
   SELECT *,
     {_bucket_sql("cluster_score", "name")} AS cluster_severity,
     {_bucket_sql("cluster_score", "num")} AS severity_numeric,
@@ -359,8 +362,8 @@ FROM (
            COALESCE(severity_dict.severity, '{info["severity"]}') AS severity,
            COALESCE(text_ts_ms, {d.epoch_ms("ts")}) AS eff_ms,
       CASE WHEN text = '' THEN 'empty_text'
-           WHEN p.level_raw IS NULL THEN 'unparseable_ts'
-           WHEN message = '' THEN 'empty_message'
+           WHEN p.grammar IS NULL THEN 'unparseable_ts'
+           WHEN message IS NULL OR message = '' THEN 'empty_message'
            WHEN COALESCE(text_ts_ms, {d.epoch_ms("ts")}) < {dicts.TS_LOW_MS}
              OR COALESCE(text_ts_ms, {d.epoch_ms("ts")}) > {dicts.TS_HIGH_MS}
              THEN 'invalid_bounds' END AS anomaly_reason

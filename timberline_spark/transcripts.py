@@ -69,6 +69,18 @@ class Dialect:
             return f"try_to_timestamp({e}, 'yyyy-MM-dd HH:mm:ss')"
         return f"try_strptime({e}, '%Y-%m-%d %H:%M:%S')"
 
+    @property
+    def mat(self) -> str:
+        """CTE materialization hint. DuckDB INLINES single-reference CTEs,
+        substituting each stage's full expression tree into every downstream
+        reference — the pipeline's chained CTEs (a ~30-line CASE `text`
+        expression referenced by ~15 regexp_extracts, then again per parsed
+        field) explode multiplicatively: the un-hinted oracle allocated
+        gigabytes and hit vm.max_map_count on a 1000-row input. MATERIALIZED
+        pins each stage to evaluate once. Spark CTEs need no hint (Catalyst
+        subexpression handling keeps plans linear)."""
+        return "MATERIALIZED " if self.name == "duckdb" else ""
+
 
 SPARK = Dialect("spark", "STRING")
 DUCKDB = Dialect("duckdb", "VARCHAR")
@@ -133,8 +145,14 @@ def transcripts_sql(d: Dialect, events_rel: str = "events") -> str:
     # ' via api' suffix keeps direct-JSON messages in their own dedup
     # clusters, so the A6 label-intersection has all-labeled clusters to
     # act on (mixed clusters faithfully intersect to empty).
+    # every 41st json_a line omits the `level` key entirely: the reference's
+    # direct parse accepts it (message is all it requires) and GetLevel
+    # defaults to INFO (log.go:66-86); strict mode routes it to the
+    # unknown_level anomaly instead — both paths are oracle-pinned.
     json_a = (
-        "'{\"level\":\"' || lvl || '\",\"service\":\"' || service || "
+        "CASE WHEN event_id % 41 = 0 THEN '{' "
+        "ELSE '{\"level\":\"' || lvl || '\",' END"
+        " || '\"service\":\"' || service || "
         "'\",\"message\":\"' || msg_j || ' via api\"'"
         " || CASE WHEN lvl = 'DEBUG' THEN '' ELSE ',\"labels\":' || labelobj END"
         " || '}'"
@@ -148,9 +166,14 @@ def transcripts_sql(d: Dialect, events_rel: str = "events") -> str:
     )
     # Fluent Bit dual-format shape: float epoch date (P6 heuristic),
     # level embedded in the log line, labels path 3 (kubernetes.labels)
+    # every 53rd Fluent Bit line carries an escaped newline in `log` (a
+    # multi-line log payload): (?s) in RE_FB_LOG keeps it parsing as
+    # fluentbit grammar in all three engines (Java/Python/RE2 regex).
     json_fb = (
         f"'{{\"date\":' || CAST({d.epoch_s('ts')} AS {S}) || '.25'"
-        " || ',\"log\":\"' || lvl || ' ' || msg_j || '\"'"
+        " || ',\"log\":\"' || lvl || ' ' || msg_j"
+        " || CASE WHEN event_id % 53 = 0 THEN chr(92) || 'nctx line2' ELSE '' END"
+        " || '\"'"
         " || ',\"source\":\"' || service || '\"'"
         " || ',\"kubernetes\":{\"labels\":' || labelobj || '}}'"
     )
