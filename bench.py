@@ -8,11 +8,21 @@ Default mode: run the headline queries at $SPARK_GRAFT_SF_DIR (default
      "queries": {...per-query sec...}, "sf": "...",
      "throughput_turns_per_sec": T, ...}
 
-Scaling mode (``--scaling``): run the same end-to-end job at two
-parallelism levels (default 8 and 32 cores) in separate subprocesses (a JVM
-can't change its master), print throughput at both plus scaling efficiency
-``(T_4N / T_N) / (4N/N)``. This is the sandbox evidence for the two-cluster-
-size criterion (no real cluster available here).
+Scaling mode (``--scaling``): run the same end-to-end job at two cluster
+sizes (default 2 and 8 EXECUTORS) in separate subprocesses (a JVM can't
+change its master), print throughput at both plus scaling efficiency
+``(T_4N / T_N) / (4N/N)``. This is the sandbox evidence for the
+two-cluster-size criterion (no real multi-host cluster available here).
+
+Default executor model: ``--exec-mode local-cluster`` spawns N REAL
+executor JVMs (``local-cluster[N,1,mem]`` — separate heaps, GC, code
+caches; 1 core + identical memory per executor at both sizes, so N->4N
+multiplies executors exactly like adding cluster nodes). This answers the
+round-2 objection that single-JVM ``local[N]`` threads share one
+allocator/heap and understate cluster scaling. ``--exec-mode threads``
+keeps the old local[N] measurement for comparison. Both pairs (2->8 and
+4->16) are reported by default so the numbers can't cherry-pick the
+least-contended pair.
 
 Each per-query timing forces full column materialization via a
 xxhash64-checksum aggregate (a bare count() would let Catalyst prune the
@@ -110,16 +120,27 @@ def _build_input(sf_dir: str, replicate: int, path: str, files: int) -> int:
     return n
 
 
-def _time_pipeline_once(cores: int, input_table: str, trials: int) -> float:
+EXEC_MEM_MB = 3072  # per-executor memory in local-cluster mode (identical
+# at both cluster sizes: N->4N adds executors, never resizes them)
+
+
+def _time_pipeline_once(
+    cores: int, input_table: str, trials: int, exec_mode: str = "threads"
+) -> float:
     """Child-process body: run the full pipeline `trials` times (fresh out
     dirs — resume would skip the work), print min seconds."""
     from timberline_spark.pipeline import run_pipeline
     from timberline_spark.session import get_spark
 
+    master = (
+        f"local-cluster[{cores},1,{EXEC_MEM_MB}]"
+        if exec_mode == "local-cluster"
+        else None
+    )
     # shuffle partitions sized to DATA, not to the core count (what a real
     # cluster does): equal per-task volumes at both parallelism levels, no
     # spill asymmetry. AQE coalesces when 64 is too many.
-    spark = get_spark("bench_scale", cores=cores, shuffle_partitions=64)
+    spark = get_spark("bench_scale", cores=cores, shuffle_partitions=64, master=master)
     best = None
     for t in range(trials):
         out_dir = tempfile.mkdtemp(prefix=f"tl_scale_{cores}_")
@@ -136,7 +157,9 @@ def _time_pipeline_once(cores: int, input_table: str, trials: int) -> float:
     return best
 
 
-def _subprocess_time(cores: int, input_table: str, trials: int = 2) -> float:
+def _subprocess_time(
+    cores: int, input_table: str, trials: int = 2, exec_mode: str = "threads"
+) -> float:
     # Shuffle dirs + outputs on tmpfs: a real N-executor cluster has N sets
     # of local disks, so storage bandwidth scales with N; a single local
     # disk does not and would mask compute scaling. tmpfs is the honest
@@ -152,7 +175,7 @@ def _subprocess_time(cores: int, input_table: str, trials: int = 2) -> float:
         [
             sys.executable, __file__, "--child-time",
             "--cores-small", str(cores), "--input-table", input_table,
-            "--trials", str(trials),
+            "--trials", str(trials), "--exec-mode", exec_mode,
         ],
         env=env,
         capture_output=True,
@@ -164,52 +187,81 @@ def _subprocess_time(cores: int, input_table: str, trials: int = 2) -> float:
     return json.loads(line)["sec"]
 
 
-def run_scaling(sf_dir: str, n_small: int, n_large: int, replicate: int) -> dict:
-    """N vs 4N evidence: same job, same pre-built input, two thread counts,
-    min-of-2 timings in warm JVMs (JIT/codegen warmup excluded by the min)."""
+def run_scaling(
+    sf_dir: str,
+    pairs: list[tuple[int, int]],
+    replicate: int,
+    exec_mode: str = "local-cluster",
+    trials: int = 3,
+) -> dict:
+    """N vs 4N evidence: same job, same pre-built input, two cluster sizes,
+    min-of-N timings in warm JVMs (JIT/codegen warmup excluded by the min).
+
+    Each (n, 4n) pair is measured independently; every unique size runs
+    once (sizes shared between pairs reuse the measurement). Reporting
+    MULTIPLE pairs by default is deliberate (round-2 advice): a single
+    favorable pair can hide saturation."""
     os.makedirs("/dev/shm/tl_bench", exist_ok=True)
     input_table = (
         tempfile.mkdtemp(prefix="tl_scale_input_", dir="/dev/shm/tl_bench")
         + "/transcripts"
     )
-    n_turns = _build_input(sf_dir, replicate, input_table, files=max(128, 4 * n_large))
+    max_n = max(n for p in pairs for n in p)
+    n_turns = _build_input(sf_dir, replicate, input_table, files=max(128, 4 * max_n))
+    times: dict[int, float] = {}
     try:
-        # min-of-3: the first trial in each JVM pays JIT/codegen warmup
-        t_small = _subprocess_time(n_small, input_table, trials=3)
-        t_large = _subprocess_time(n_large, input_table, trials=3)
+        for n in sorted({n for p in pairs for n in p}):
+            times[n] = _subprocess_time(n, input_table, trials=trials, exec_mode=exec_mode)
     finally:
         shutil.rmtree(os.path.dirname(input_table), ignore_errors=True)
-    thr_s, thr_l = n_turns / t_small, n_turns / t_large
-    eff = (thr_l / thr_s) / (n_large / n_small)
+    results = []
+    for n_small, n_large in pairs:
+        thr_s, thr_l = n_turns / times[n_small], n_turns / times[n_large]
+        eff = (thr_l / thr_s) / (n_large / n_small)
+        results.append(
+            {
+                "executors_small": n_small,
+                "executors_large": n_large,
+                "throughput_small": round(thr_s, 1),
+                "throughput_large": round(thr_l, 1),
+                "e2e_sec_small": round(times[n_small], 3),
+                "e2e_sec_large": round(times[n_large], 3),
+                "efficiency": round(eff, 3),
+            }
+        )
     return {
         "metric": "scaling_efficiency",
-        "value": round(eff, 3),
+        "value": results[0]["efficiency"],
         "unit": "ratio",
+        "exec_mode": exec_mode,
+        "exec_mem_mb": EXEC_MEM_MB if exec_mode == "local-cluster" else None,
         "sf": os.path.basename(os.path.normpath(sf_dir)),
         "n_turns": n_turns,
-        "cores_small": n_small,
-        "cores_large": n_large,
-        "throughput_small": round(thr_s, 1),
-        "throughput_large": round(thr_l, 1),
-        "e2e_sec_small": round(t_small, 3),
-        "e2e_sec_large": round(t_large, 3),
+        "pairs": results,
     }
 
 
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--scaling", action="store_true")
-    # default N -> 4N pair is 2 -> 8: at low absolute thread counts the
-    # single box's shared LLC/allocator are not saturated, which is the
-    # faithful proxy for adding executors (BENCH.md "Why efficiency falls
-    # with absolute thread count"). 8 -> 32 measures box saturation, not
-    # the plan.
-    ap.add_argument("--cores-small", type=int, default=2)
-    ap.add_argument("--cores-large", type=int, default=8)
+    # N -> 4N cluster sizes. In local-cluster mode these are EXECUTOR
+    # counts (1 core + EXEC_MEM_MB each — 4N executors is 4x every
+    # resource, like adding nodes). Both pairs report by default so the
+    # published efficiency can't cherry-pick the least-contended pair.
+    ap.add_argument(
+        "--pairs", default="2:8,4:16",
+        help="comma-separated N:4N cluster-size pairs for --scaling",
+    )
+    ap.add_argument(
+        "--exec-mode", choices=["local-cluster", "threads"],
+        default="local-cluster",
+        help="local-cluster = real executor JVMs; threads = local[N]",
+    )
+    ap.add_argument("--cores-small", type=int, default=2, help=argparse.SUPPRESS)
     ap.add_argument("--replicate", type=int, default=1)
     ap.add_argument("--child-time", action="store_true", help=argparse.SUPPRESS)
     ap.add_argument("--input-table", default=None, help=argparse.SUPPRESS)
-    ap.add_argument("--trials", type=int, default=2, help=argparse.SUPPRESS)
+    ap.add_argument("--trials", type=int, default=3, help=argparse.SUPPRESS)
     ap.add_argument("--quiet-env", action="store_true", help=argparse.SUPPRESS)
     args = ap.parse_args()
 
@@ -217,10 +269,19 @@ def main():
     cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
 
     if args.child_time:
-        sec = _time_pipeline_once(args.cores_small, args.input_table, args.trials)
+        sec = _time_pipeline_once(
+            args.cores_small, args.input_table, args.trials, args.exec_mode
+        )
         result = {"sec": round(sec, 3)}
     elif args.scaling:
-        result = run_scaling(sf_dir, args.cores_small, args.cores_large, args.replicate)
+        pairs = [
+            (int(a), int(b))
+            for a, b in (p.split(":") for p in args.pairs.split(","))
+        ]
+        result = run_scaling(
+            sf_dir, pairs, args.replicate, exec_mode=args.exec_mode,
+            trials=args.trials,
+        )
     else:
         result = run_bench(sf_dir, cpus, replicate=args.replicate)
     print(json.dumps(result))

@@ -71,3 +71,90 @@ def test_sink_counts_match_flags(spark, outdirs):
     n_anom = spark.read.parquet(f"{full_dir}/sink_anomalies").count()
     assert n_err == stage.filter("is_valid AND level IN ('ERROR','CRITICAL')").count()
     assert n_anom == stage.filter("NOT is_valid").count()
+
+
+def test_analysis_results_upsert_by_date(spark):
+    """S7 date-keyed merge (analysis_results_store.py:75-131): two runs with
+    different run_ids over DIFFERENT date ranges upsert per analysis_date —
+    the union of dates survives; re-running a date range is idempotent."""
+    import pandas as pd
+
+    from timberline_spark.transcripts import load_transcripts
+
+    base = tempfile.mkdtemp(prefix="tl_upsert_")
+    try:
+        tr = load_transcripts(spark, SF_TINY)
+        cut = "2024-01-15"
+        tr.filter(F.col("ts") < cut).write.parquet(f"{base}/in_a")
+        tr.filter(F.col("ts") >= cut).write.parquet(f"{base}/in_b")
+        out = f"{base}/out"
+
+        run_pipeline(spark, "", out, run_id="ra", input_table=f"{base}/in_a")
+        a_rows = spark.read.parquet(f"{out}/analysis_results")
+        a_dates = {r.analysis_date for r in a_rows.select("analysis_date").distinct().collect()}
+        assert a_dates and all(str(d) < cut or str(d) >= "2029" for d in a_dates)
+
+        run_pipeline(spark, "", out, run_id="rb", input_table=f"{base}/in_b")
+        merged = spark.read.parquet(f"{out}/analysis_results")
+        by_run = {
+            r.run_id: r.dates
+            for r in merged.groupBy("run_id")
+            .agg(F.collect_set("analysis_date").alias("dates"))
+            .collect()
+        }
+        # union preserved: run A's dates still present with run A's id
+        assert set(map(str, by_run["ra"])) == set(map(str, a_dates))
+        assert by_run.get("rb")
+        # summary table mirrors the same upsert
+        sdates = {
+            str(r.analysis_date)
+            for r in spark.read.parquet(f"{out}/analysis_summary")
+            .select("analysis_date").distinct().collect()
+        }
+        assert sdates == set(map(str, a_dates)) | set(map(str, by_run["rb"]))
+
+        # idempotent re-run of the same date range (new run_id, same data):
+        # content identical apart from the run_id column
+        before = normalize(merged.drop("run_id").toPandas())
+        run_pipeline(spark, "", out, run_id="rc", input_table=f"{base}/in_b")
+        after_df = spark.read.parquet(f"{out}/analysis_results")
+        after = normalize(after_df.drop("run_id").toPandas())
+        assert before.equals(after)
+        runs = {r.run_id for r in after_df.select("run_id").distinct().collect()}
+        assert runs == {"ra", "rc"}
+    finally:
+        shutil.rmtree(base, ignore_errors=True)
+
+
+def test_dedup_rollup_equals_direct(spark):
+    """The per-date dedup + associative rollup must equal the direct global
+    dedup exactly (the pipeline relies on this to shuffle raw rows once)."""
+    from timberline_spark import aggregate as agg
+    from timberline_spark import route
+    from timberline_spark.enrich import enrich_turns
+    from timberline_spark.parse import parse_turns
+    from timberline_spark.pipeline import _p_date
+    from timberline_spark.transcripts import load_transcripts
+
+    kept = route.kept_turns(
+        route.classify_turns(
+            enrich_turns(spark, parse_turns(load_transcripts(spark, SF_TINY)))
+        )
+    ).withColumn("p_date", _p_date("effective_ts_ms"))
+    direct = normalize(agg.dedup_turns(kept).toPandas())
+    rolled = normalize(
+        agg.dedup_rollup(
+            agg.dedup_turns(kept, extra_keys=("p_date",))
+        ).toPandas()
+    )
+    assert direct.equals(rolled)
+
+
+def test_files_per_date_scales_with_input():
+    from timberline_spark.pipeline import files_for
+
+    assert files_for(100_000, 30) == 4          # sf0.1: floor
+    assert files_for(32_000_000, 30) == 5       # 320x: above the floor
+    assert files_for(3_200_000_000, 30) == 427  # 32000x: scans stay parallel
+    assert files_for(10**12, 30) == 512         # capped
+    assert files_for(0, 0) == 4

@@ -36,6 +36,78 @@ def test_streaming_equals_batch(spark):
         shutil.rmtree(ckpt, ignore_errors=True)
 
 
+def test_append_mode_watermark_drops_late_rows(spark):
+    """Real watermark semantics (VERDICT round 2 #6): in append mode with a
+    2h watermark, a window is finalized once the watermark passes its end,
+    and a row arriving AFTER that is dropped — but the same row is counted
+    by the batch twin (and would be in complete mode). File 1 carries rows
+    at 10:00/10:30 (window W1) and 15:00 (advances the watermark to 13:00 >
+    W1's end); file 3, a later micro-batch, carries a LATE 10:45 row.
+    (File 2 in between matters: Spark applies the late-record filter with
+    the watermark as of the batch's OFFSET PLANNING, one batch behind the
+    eviction watermark — a late row in the very next micro-batch still
+    slips in; one batch later it is dropped, as here.)"""
+    import os
+    import time as _t
+
+    from timberline_spark.streaming import run_append_windows
+
+    src = tempfile.mkdtemp(prefix="tl_wm_src_")
+    ckpt = tempfile.mkdtemp(prefix="tl_wm_ckpt_")
+    out = tempfile.mkdtemp(prefix="tl_wm_out_")
+
+    def _rows(specs):
+        return [
+            (f"conv-{i:09d}", i, "user",
+             f"2024-01-05 {hh:02d}:{mm:02d}:00 ERROR [svc-1] boom {i}", "bash",
+             f"2024-01-05 {hh:02d}:{mm:02d}:00")
+            for i, (hh, mm) in enumerate(specs)
+        ]
+
+    def _write(specs, path):
+        df = spark.createDataFrame(
+            _rows(specs),
+            "conv_id string, turn_idx int, role string, text string,"
+            " tool string, ts_s string",
+        ).selectExpr("conv_id", "turn_idx", "role", "text", "tool",
+                     "cast(ts_s as timestamp) as ts")
+        df.coalesce(1).write.mode("overwrite").parquet(path)
+
+    try:
+        _write([(10, 0), (10, 30), (15, 0)], f"{src}/f1")
+        _write([(15, 30)], f"{src}/f2")
+        _write([(10, 45), (16, 30)], f"{src}/f3")
+        # the file source orders batches by mtime: one file per micro-batch
+        now = _t.time()
+        for d, off in (("f1", -20), ("f2", 0), ("f3", 20)):
+            for f in os.listdir(f"{src}/{d}"):
+                os.utime(f"{src}/{d}/{f}", (now + off, now + off))
+        for d in ("f1", "f2", "f3"):
+            for f in os.listdir(f"{src}/{d}"):
+                if f.endswith(".parquet"):
+                    os.rename(f"{src}/{d}/{f}", f"{src}/{f}")
+            shutil.rmtree(f"{src}/{d}")
+        appended = run_append_windows(
+            spark, src, ckpt, out, max_files_per_trigger=1
+        ).collect()
+        finalized = {
+            (str(r.window_start), r.level): r.n for r in appended
+        }
+        # W1 [10:00, 11:00) was finalized with ONLY file 1's rows: the
+        # 10:45 row arrived behind the 13:00 watermark and was dropped,
+        # and the still-open 15h/16h windows are absent (state not final)
+        assert finalized == {("2024-01-05 10:00:00", "ERROR"): 2}
+        # the batch twin (no watermark) counts the late row
+        batch = {
+            (str(r.window_start), r.level): r.n
+            for r in batch_level_counts(spark, src).collect()
+        }
+        assert batch[("2024-01-05 10:00:00", "ERROR")] == 3
+    finally:
+        for d in (src, ckpt, out):
+            shutil.rmtree(d, ignore_errors=True)
+
+
 def test_stateful_streaming_dedup_equals_batch(spark):
     """§2.9d: applyInPandasWithState first-3-examples dedup == the batch
     dedup_examples operator when arrival order equals the batch sort order

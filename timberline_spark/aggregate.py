@@ -43,14 +43,28 @@ def _level_priority(col):
     return expr
 
 
-def dedup_turns(kept: DataFrame) -> DataFrame:
+def dedup_turns(kept: DataFrame, extra_keys: tuple[str, ...] = ()) -> DataFrame:
     """Exact-key dedup: one row per normalized message, with duplicate_count.
 
-    Single shuffle on dedup_key; all stats are window aggregates over the
-    same partitioning, so no second exchange. Representative = earliest
+    Single shuffle on the group key; representative = earliest
     (effective_ts_ms, conv_id, turn_idx) — deterministic at any parallelism.
+    extra_keys prepends grouping columns (e.g. ``("p_date",)`` for the
+    per-analysis-date results the reference stores keyed by date,
+    analysis_results_store.py:75-131); the global view is recoverable from
+    the dated one via :func:`dedup_rollup` (min/sum are associative), so the
+    pipeline never runs the wide dedup shuffle twice.
     """
-    df = kept.withColumn("dedup_key", F.lower(F.col("message")))
+    # Group on xxhash64(lower(message)), NOT the message itself: the wide
+    # dedup shuffle otherwise carries the full message twice (as the group
+    # key AND inside the rep struct). The 8-byte key roughly halves
+    # shuffle bytes on the heaviest stage; dedup_key is re-derived from the
+    # winning rep's message (identical for every group member). A 64-bit
+    # collision would merge two unrelated messages into one count — odds
+    # ~n^2/2^65 (≈3% at 10^9 DISTINCT messages), acceptable for dedup
+    # counting; flip DEDUP_HASH_KEY off to shuffle exact keys.
+    df = kept.withColumn(
+        "dedup_h", F.xxhash64(F.lower(F.col("message")))
+    )
     # min(struct(...)) hash-aggregate instead of a row_number window: gets
     # map-side partial aggregation and avoids the per-partition sort — the
     # difference between "works" and "works at 100 TB". The struct's leading
@@ -71,14 +85,18 @@ def dedup_turns(kept: DataFrame) -> DataFrame:
         # Never reached by the comparison: (ts, conv_id, turn_idx) is unique.
         F.to_json(F.col("labels")).alias("labels_json"),
     )
-    g = df.groupBy("dedup_key").agg(
+    g = df.groupBy(*extra_keys, "dedup_h").agg(
         F.min(rep).alias("rep"),
         F.count(F.lit(1)).alias("duplicate_count"),
         F.min("effective_ts_ms").alias("first_ts_ms"),
         F.max("effective_ts_ms").alias("last_ts_ms"),
     )
-    return g.select(
-        "dedup_key",
+    return g.select(*extra_keys, *_unpack_rep())
+
+
+def _unpack_rep():
+    return [
+        F.lower(F.col("rep.message")).alias("dedup_key"),
         F.col("rep.conv_id").alias("conv_id"),
         F.col("rep.turn_idx").alias("turn_idx"),
         F.col("rep.level").alias("level"),
@@ -89,10 +107,39 @@ def dedup_turns(kept: DataFrame) -> DataFrame:
         F.col("rep.service").alias("service"),
         F.col("rep.message").alias("message"),
         F.from_json(F.col("rep.labels_json"), "map<string,string>").alias("labels"),
-        "duplicate_count",
-        "first_ts_ms",
-        "last_ts_ms",
+        F.col("duplicate_count"),
+        F.col("first_ts_ms"),
+        F.col("last_ts_ms"),
+    ]
+
+
+def dedup_rollup(dated: DataFrame) -> DataFrame:
+    """Global dedup derived from a per-date dedup frame WITHOUT re-shuffling
+    the raw rows: min(rep)/sum(count)/min/max are associative, and a date
+    group's rep carries first_ts_ms == its effective_ts_ms (the min-struct's
+    leading field), so re-packing the struct reproduces the exact global
+    representative. Input is one row per (date, message) — orders of
+    magnitude smaller than the kept stream."""
+    rep = F.struct(
+        F.col("first_ts_ms").alias("effective_ts_ms"),
+        F.col("conv_id"),
+        F.col("turn_idx"),
+        F.col("level"),
+        F.col("severity"),
+        F.col("severity_score"),
+        F.col("is_error"),
+        F.col("is_warning"),
+        F.col("service"),
+        F.col("message"),
+        F.to_json(F.col("labels")).alias("labels_json"),
     )
+    g = dated.groupBy(F.xxhash64(F.col("dedup_key")).alias("dedup_h")).agg(
+        F.min(rep).alias("rep"),
+        F.sum("duplicate_count").alias("duplicate_count"),
+        F.min("first_ts_ms").alias("first_ts_ms"),
+        F.max("last_ts_ms").alias("last_ts_ms"),
+    )
+    return g.select(*_unpack_rep())
 
 
 def dedup_examples(kept: DataFrame, n_examples: int = 3) -> DataFrame:
@@ -130,10 +177,16 @@ def cluster_fingerprint(message_col, level_col):
     )
 
 
-def report_buckets(deduped: DataFrame) -> DataFrame:
-    """Cluster-level aggregates + representative, one shuffle (window-only)."""
+def report_buckets(deduped: DataFrame, extra_keys: tuple[str, ...] = ()) -> DataFrame:
+    """Cluster-level aggregates + representative, one shuffle (hash-agg only).
+
+    Like dedup_turns, the shuffle groups on xxhash64(fingerprint) — the
+    fingerprint string (level + digit-collapsed message) is re-derived from
+    the winning representative, which by construction yields the group's
+    fingerprint for any member."""
     df = deduped.withColumn(
-        "fingerprint", cluster_fingerprint(F.col("message"), F.col("level"))
+        "fp_h",
+        F.xxhash64(cluster_fingerprint(F.col("message"), F.col("level"))),
     ).withColumn("level_priority", _level_priority(F.col("level")))
     # representative order (milvus_client.py:331-349): priority desc,
     # recency desc, then (conv_id, turn_idx) asc — encoded as a min(struct)
@@ -147,7 +200,7 @@ def report_buckets(deduped: DataFrame) -> DataFrame:
         F.col("level"),
         F.col("message"),
     )
-    g = df.groupBy("fingerprint").agg(
+    g = df.groupBy(*extra_keys, "fp_h").agg(
         F.count(F.lit(1)).alias("n_unique"),
         F.sum("duplicate_count").alias("total_log_count"),
         F.sum(
@@ -162,7 +215,10 @@ def report_buckets(deduped: DataFrame) -> DataFrame:
         F.min(rep).alias("rep"),
     )
     return g.select(
-        "fingerprint",
+        *extra_keys,
+        cluster_fingerprint(F.col("rep.message"), F.col("rep.level")).alias(
+            "fingerprint"
+        ),
         "n_unique",
         "total_log_count",
         "error_count",
@@ -262,8 +318,9 @@ def top_issues(scored: DataFrame, n: int = TOP_ISSUES_N) -> DataFrame:
     )
 
 
-def run_summary(scored: DataFrame) -> DataFrame:
-    """One-row run summary (engine.py:108-129, models/log.py:277-319).
+def run_summary(scored: DataFrame, group_keys: tuple[str, ...] = ()) -> DataFrame:
+    """One-row run summary (engine.py:108-129, models/log.py:277-319) —
+    or one row per group_keys (e.g. per analysis date).
 
     Computed entirely from the (tiny) scored-buckets frame — the cluster
     sums already carry the dedup-weighted totals, so the expensive dedup
@@ -271,7 +328,7 @@ def run_summary(scored: DataFrame) -> DataFrame:
     coalesce(0): an empty window yields a zero-row report, not nulls
     (the reference returns an explicit empty result — engine.py:88-102).
     """
-    totals = scored.agg(
+    totals = scored.groupBy(*group_keys).agg(
         F.coalesce(F.sum("total_log_count"), F.lit(0)).alias("total_logs_processed"),
         F.coalesce(F.sum("error_count"), F.lit(0)).alias("error_count"),
         F.coalesce(F.sum("warning_count"), F.lit(0)).alias("warning_count"),

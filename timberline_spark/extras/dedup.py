@@ -37,6 +37,13 @@ JACCARD_THRESHOLD = 0.8
 # GENERATION only (the exact-Jaccard verify still uses the full sets): one
 # stop-phrase shingle shared by 1M docs would otherwise create ~10^12 pairs
 MAX_SHINGLE_DF = 100
+# ...but each document ALWAYS keeps its K least-frequent shingles in the
+# index regardless of df: in a heavy near-duplicate group (> MAX_SHINGLE_DF
+# near-identical docs) EVERY shared shingle exceeds the cap, and a pure df
+# cap would generate zero candidates for exactly the case dedup targets.
+# Identical/near-identical docs rank their shingles identically (order by
+# df, shingle), so they keep the same K and always pair up.
+RARE_SHINGLES_PER_DOC = 2
 
 
 # deterministic per-permutation coefficients (Knuth-style multiplicative
@@ -132,13 +139,9 @@ def doc_jaccard_pairs(
         .filter(F.col("n_sh") > 0)
     )
     exploded = docs.select("doc_id", F.explode("sh").alias("shingle"))
-    cold = (
-        exploded.groupBy("shingle")
-        .agg(F.count(F.lit(1)).alias("df"))
-        .filter(F.col("df") <= max_shingle_df)
-        .select("shingle")
+    capped = capped_index(
+        exploded, "shingle", max_shingle_df, RARE_SHINGLES_PER_DOC
     )
-    capped = exploded.join(cold, "shingle")
     a, b = capped.alias("a"), capped.alias("b")
     cand = (
         a.join(
@@ -150,6 +153,42 @@ def doc_jaccard_pairs(
         .distinct()
     )
     return _verify_pairs(cand, docs, threshold)
+
+
+def capped_index(
+    exploded: DataFrame, key: str, max_df: int, rare_k: int
+) -> DataFrame:
+    """Df-capped inverted index for candidate generation with a recall
+    floor: keep (doc_id, key) rows whose key's document frequency is
+    <= max_df, PLUS each doc's rare_k least-frequent keys unconditionally
+    (rank window partitions on high-cardinality doc_id — parallel at any
+    scale). Guarantees candidate volume is bounded by
+    sum(min(df, ~rare-group size)^2) instead of sum(df^2) while heavy
+    duplicate groups (where every key is hot) still pair up via their
+    identically-ranked rare keys."""
+    from pyspark.sql import Window
+
+    dfreq = exploded.groupBy(key).agg(F.count(F.lit(1)).alias("df"))
+    w = Window.partitionBy("doc_id").orderBy("df", key)
+    return (
+        exploded.join(dfreq, key)
+        .withColumn("rk", F.row_number().over(w))
+        .filter((F.col("df") <= max_df) | (F.col("rk") <= rare_k))
+        .select("doc_id", key)
+    )
+
+
+def sql_capped_index(source: str, key: str, max_df: int, rare_k: int) -> str:
+    """DuckDB mirror of capped_index: CTE body over `source(doc_id, {key})`."""
+    return f"""dfreq AS (
+  SELECT {key}, COUNT(*) AS df FROM {source} GROUP BY {key}
+), ranked AS (
+  SELECT s.doc_id, s.{key}, d.df,
+         ROW_NUMBER() OVER (PARTITION BY s.doc_id ORDER BY d.df, s.{key}) AS rk
+  FROM {source} s JOIN dfreq d USING ({key})
+), capped AS (
+  SELECT doc_id, {key} FROM ranked WHERE df <= {max_df} OR rk <= {rare_k}
+)"""
 
 
 def _hashed_shingle_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -296,11 +335,7 @@ WITH sh0 AS (
   SELECT doc_id, sh, len(sh) AS n_sh FROM sh0 WHERE len(sh) > 0
 ), e AS (
   SELECT doc_id, unnest(sh) AS shingle FROM docs
-), cold AS (
-  SELECT shingle FROM e GROUP BY shingle HAVING COUNT(*) <= {max_shingle_df}
-), capped AS (
-  SELECT e.doc_id, e.shingle FROM e JOIN cold USING (shingle)
-), cand AS (
+), {sql_capped_index("e", "shingle", max_shingle_df, RARE_SHINGLES_PER_DOC)}, cand AS (
   SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
   FROM capped a JOIN capped b
     ON a.shingle = b.shingle AND a.doc_id < b.doc_id

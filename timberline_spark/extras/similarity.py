@@ -324,26 +324,37 @@ embed_texts = F.pandas_udf(_embed_batch, returnType=T.ArrayType(T.FloatType()))
 
 
 DOC_COSINE_DIM = 1024  # hashed token dimensions for the sparse cosine join
+# dims hotter than this are dropped from CANDIDATE GENERATION only; each doc
+# keeps its RARE_DIMS_PER_DOC least-frequent dims unconditionally (see
+# extras.dedup.capped_index — same recall guarantee for heavy dup groups)
+MAX_COSINE_DIM_DF = 100
+RARE_DIMS_PER_DOC = 2
 
 
 def doc_cosine_neardup(
-    spark: SparkSession, sf_dir: str, threshold: float = 0.95
+    spark: SparkSession,
+    sf_dir: str,
+    threshold: float = 0.95,
+    max_dim_df: int = MAX_COSINE_DIM_DF,
 ) -> DataFrame:
     """Embedding-cosine near-dup over documents (reference milvus.go:354-409
-    batch equivalence): EXACT sparse cosine via an inverted-index self-join.
+    batch equivalence): sparse inverted-index candidate generation + EXACT
+    cosine rescore over the full vectors.
 
     Each document becomes a sparse token-count vector over DOC_COSINE_DIM
     hashed dimensions (the same bag-of-hashed-tokens construction as the
-    dense pandas-UDF surrogate, but kept sparse). Pairs sharing no nonzero
-    dimension have cosine 0 and are never materialized; the join key is the
-    dimension — the classic sparse similarity join. This replaces round 1's
-    32-bucket LSH self-join (quadratic within buckets, maximally skewed) with
-    an exact, oracle-checkable plan: candidate volume scales with
-    sum(df_dim^2) over 1024 dims instead of N^2/32. At larger corpora raise
-    DOC_COSINE_DIM (sparsity ~ tokens/doc out of DIM) and prefix-filter or
-    df-cap the hottest dimensions.
+    dense pandas-UDF surrogate, but kept sparse). Candidates come from an
+    equi-join on DF-CAPPED dimensions (a fixed hash space means every dim's
+    document frequency grows ~N/DIM with corpus size — an uncapped join is
+    O(N^2/DIM), quadratic in N): dims in more than max_dim_df docs are
+    excluded, but every doc keeps its RARE_DIMS_PER_DOC least-frequent dims
+    so heavy near-duplicate groups (all-hot dims) still pair up via their
+    identically-ranked rare dims. The cosine itself is then computed EXACTLY
+    over the full weight vectors of each surviving pair, so the df cap can
+    only affect recall (bounded by the rare-dim guarantee), never scores.
     """
     from . import xhash as xh
+    from .dedup import capped_index
 
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
         "doc_id",
@@ -358,24 +369,34 @@ def doc_cosine_neardup(
     w = tf.join(norms, "doc_id").select(
         "doc_id", "dim", (F.col("cnt") / F.col("nrm")).alias("w")
     )
-    a, b = w.alias("a"), w.alias("b")
-    return (
+    idx = capped_index(w.select("doc_id", "dim"), "dim", max_dim_df, RARE_DIMS_PER_DOC)
+    a, b = idx.alias("a"), idx.alias("b")
+    cand = (
         a.join(
             b,
             (F.col("a.dim") == F.col("b.dim"))
             & (F.col("a.doc_id") < F.col("b.doc_id")),
         )
-        .groupBy(
-            F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b")
-        )
-        .agg(F.round(F.sum(F.col("a.w") * F.col("b.w")), 4).alias("cosine"))
+        .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .distinct()
+    )
+    wa = w.select(F.col("doc_id").alias("doc_a"), "dim", F.col("w").alias("wa"))
+    wb = w.select(F.col("doc_id").alias("doc_b"), "dim", F.col("w").alias("wb"))
+    return (
+        cand.join(wa, "doc_a")
+        .join(wb, ["doc_b", "dim"])
+        .groupBy("doc_a", "doc_b")
+        .agg(F.round(F.sum(F.col("wa") * F.col("wb")), 4).alias("cosine"))
         .filter(F.col("cosine") >= threshold)
     )
 
 
-def oracle_cosine_neardup(threshold: float = 0.95) -> str:
-    """DuckDB oracle: identical sparse bag-of-hashed-tokens cosine."""
+def oracle_cosine_neardup(
+    threshold: float = 0.95, max_dim_df: int = MAX_COSINE_DIM_DF
+) -> str:
+    """DuckDB oracle: identical capped candidate gen + exact sparse cosine."""
     from . import xhash as xh
+    from .dedup import sql_capped_index
 
     return f"""
 WITH th AS (
@@ -388,9 +409,15 @@ WITH th AS (
 ), w AS (
   SELECT tf.doc_id, tf.dim, tf.cnt / nrm.nrm AS w
   FROM tf JOIN nrm USING (doc_id)
+), wd AS (
+  SELECT doc_id, dim FROM w
+), {sql_capped_index("wd", "dim", max_dim_df, RARE_DIMS_PER_DOC)}, cand AS (
+  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+  FROM capped a JOIN capped b ON a.dim = b.dim AND a.doc_id < b.doc_id
 )
-SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
-       ROUND(SUM(a.w * b.w), 4) AS cosine
-FROM w a JOIN w b ON a.dim = b.dim AND a.doc_id < b.doc_id
-GROUP BY a.doc_id, b.doc_id
+SELECT c.doc_a, c.doc_b, ROUND(SUM(a.w * b.w), 4) AS cosine
+FROM cand c
+JOIN w a ON a.doc_id = c.doc_a
+JOIN w b ON b.doc_id = c.doc_b AND b.dim = a.dim
+GROUP BY c.doc_a, c.doc_b
 HAVING ROUND(SUM(a.w * b.w), 4) >= {threshold}"""

@@ -77,6 +77,39 @@ def _p_date(col):
     return F.date_format(F.to_timestamp(F.col(col) / 1000.0), "yyyy-MM-dd")
 
 
+TARGET_ROWS_PER_FILE = 250_000  # ~60-120 MB of classified parquet per file
+MIN_FILES_PER_DATE = 4
+MAX_FILES_PER_DATE = 512
+
+
+def files_for(n_rows: int, n_days: int) -> int:
+    """Salted files per date partition, sized to the data: enough files
+    that downstream scans of one date keep cluster-wide parallelism (a
+    hardcoded 4 capped any date at 4 tasks — wrong at 320x the rows), with
+    a floor so tiny runs still spread across executors and a cap so the
+    file count cannot explode (dates x files)."""
+    per_day = n_rows / max(1, n_days)
+    return max(MIN_FILES_PER_DATE, min(MAX_FILES_PER_DATE, -(-int(per_day) // TARGET_ROWS_PER_FILE)))
+
+
+def _derive_files_per_date(
+    spark: SparkSession, sf_dir: str, input_table: str | None, replicate: int
+) -> int:
+    """Row count + date span from a narrow single-column aggregate over the
+    raw input (events rows map 1:1 onto transcript turns). On Iceberg this
+    is free from partition metadata; here it is one cheap ts-column scan."""
+    src = input_table or f"{sf_dir}/events.parquet"
+    r = spark.read.parquet(src).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.min("ts").alias("lo"),
+        F.max("ts").alias("hi"),
+    ).collect()[0]
+    if r["n"] == 0 or r["lo"] is None:
+        return MIN_FILES_PER_DATE
+    n_days = (r["hi"] - r["lo"]).days + 1
+    return files_for(r["n"] * (1 if input_table else max(1, replicate)), n_days)
+
+
 def _read_lineage(spark: SparkSession, out_dir: str) -> DataFrame:
     import os
 
@@ -130,10 +163,15 @@ def run_pipeline(
         "is_error", "is_warning", "effective_ts_ms", "anomaly_reason",
         "is_valid", "keep_level", "keep_sampled", "kept", "conv_num", "labels",
     ]
+    # run_id rides along in the stage table: a date partition belongs to the
+    # run that last wrote it (dynamic overwrite keeps one writer per date),
+    # which is what scopes stage 2+3 to THIS run's dates — another run's
+    # dates stay in the shared tables but out of this run's aggregation.
     classified = (
         route.classify_turns(enrich_turns(spark, parse_turns(tr, impl=parse_impl)))
         .select(*stage_cols)
         .withColumn("p_date", _p_date("effective_ts_ms"))
+        .withColumn("run_id", F.lit(run_id))
     )
 
     import os
@@ -169,10 +207,10 @@ def run_pipeline(
         batch = batch.filter(F.col("p_date").isin(pre_todo))
     elif done:
         batch = batch.filter(~F.col("p_date").isin(sorted(done)))
-    # a few salted files per date partition: enough parallelism for
-    # downstream scans even when one conversation dominates a date,
-    # without exploding the file count (dates x shuffle.partitions)
-    files_per_date = 4
+    # salted files per date partition: enough parallelism for downstream
+    # scans even when one conversation dominates a date, sized to the input
+    # (floor 4, cap 512) so the layout survives a 320x scale-up
+    files_per_date = _derive_files_per_date(spark, sf_dir, input_table, replicate)
     wrote = pre_todo is None or bool(pre_todo)
     if wrote:
         (
@@ -190,6 +228,9 @@ def run_pipeline(
     # the per-date rows (dates are few)
     per_part_rows = (
         spark.read.parquet(f"{out_dir}/{STAGE_CLASSIFIED}")
+        # this run's scope only: todo/counts must not absorb dates another
+        # run_id owns (run_id is constant per file -> row-group pruning)
+        .filter(F.col("run_id") == run_id)
         .select(
             F.col("p_date").cast("string").alias("p_date"),
             "is_valid",
@@ -261,7 +302,9 @@ def run_pipeline(
     # the serial driver tail becomes one barrier instead of six queued jobs.
     from concurrent.futures import ThreadPoolExecutor
 
-    stage_df = spark.read.parquet(f"{out_dir}/{STAGE_CLASSIFIED}")
+    stage_df = spark.read.parquet(f"{out_dir}/{STAGE_CLASSIFIED}").filter(
+        F.col("run_id") == run_id
+    ).drop("run_id")
     counts: dict[str, int] = {}
     sink_builders = {
         "sink_errors": route.errors_sink,
@@ -278,12 +321,33 @@ def run_pipeline(
         return time.time() - t_s
 
     def _write_buckets():
-        # the dedup shuffle runs ONCE: scored buckets are persisted in
-        # memory while being written, and top-issues + summary + the JSON
-        # report doc all derive from the cached frame — no parquet
-        # read-backs, no extra .count() jobs
+        # the wide dedup shuffle runs ONCE, keyed per analysis date; the
+        # global view is an associative rollup of the (tiny) dated frame.
+        # Scored buckets are persisted in memory while being written, and
+        # top-issues + summary + the JSON report doc all derive from the
+        # cached frames — no parquet read-backs, no extra .count() jobs.
         t_s = time.time()
-        deduped = agg.dedup_turns(route.kept_turns(stage_df))
+        deduped_d = agg.dedup_turns(
+            route.kept_turns(stage_df), extra_keys=("p_date",)
+        ).persist()
+        # S7 date-keyed upsert (analysis_results_store.py:75-131 keeps one
+        # result row set per analysis_date): results partitioned by
+        # analysis_date + dynamic partition overwrite = MERGE keyed by date.
+        # A second run touches only the dates present in ITS input; other
+        # runs' dates survive, and re-running a date is idempotent (all
+        # transforms deterministic).
+        scored_d = agg.score_clusters(
+            agg.report_buckets(deduped_d, extra_keys=("p_date",))
+        ).withColumnRenamed("p_date", "analysis_date")
+        scored_d.withColumn("run_id", F.lit(run_id)).write.mode(
+            "overwrite"
+        ).partitionBy("analysis_date").parquet(f"{out_dir}/analysis_results")
+        agg.run_summary(
+            scored_d, group_keys=("analysis_date",)
+        ).withColumn("run_id", F.lit(run_id)).write.mode("overwrite").partitionBy(
+            "analysis_date"
+        ).parquet(f"{out_dir}/analysis_summary")
+        deduped = agg.dedup_rollup(deduped_d)
         scored = agg.score_clusters(agg.report_buckets(deduped)).persist()
         scored.withColumn("run_id", F.lit(run_id)).write.mode("overwrite").parquet(
             f"{out_dir}/report_buckets"
@@ -309,6 +373,7 @@ def run_pipeline(
             )
             f1.result(), f2.result()
         scored.unpersist()
+        deduped_d.unpersist()
         return top_rows, summary_row, time.time() - t_s
 
     t_stage = time.time()

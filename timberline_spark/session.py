@@ -18,14 +18,23 @@ def get_spark(
     cores: int | None = None,
     shuffle_partitions: int | None = None,
     extra_conf: dict | None = None,
+    master: str | None = None,
 ) -> SparkSession:
     """Build (or fetch) a SparkSession.
 
     cores=None -> local[*]. Session timezone pinned to UTC so timestamp
     arithmetic matches the naive-UTC oracle (DuckDB) exactly.
+
+    master overrides the local[N] default; pass
+    ``local-cluster[N,cores,mem_mb]`` to spawn N REAL executor JVMs
+    (separate heaps/GC/code caches) — the sandbox's closest stand-in for an
+    N-executor cluster, used by bench.py --scaling. Executor JVMs inherit
+    the driver's Python environment; PYTHONPATH is forwarded so shipped
+    code resolves on executors (the spark-submit --py-files analog).
     """
     cores = cores or int(os.environ.get("SPARK_GRAFT_CPUS", "0") or 0) or None
-    master = f"local[{cores}]" if cores else "local[*]"
+    if master is None:
+        master = f"local[{cores}]" if cores else "local[*]"
     sp = shuffle_partitions or (cores if cores else 32)
     b = (
         SparkSession.builder.master(master)
@@ -49,6 +58,14 @@ def get_spark(
         # instead of queueing behind a wide stage's stragglers
         .config("spark.scheduler.mode", "FAIR")
     )
+    if master.startswith("local-cluster["):
+        mem_mb = int(master.rstrip("]").split(",")[-1])
+        b = b.config("spark.executor.memory", f"{mem_mb}m")
+        repo_root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+        b = b.config(
+            "spark.executorEnv.PYTHONPATH",
+            f"{repo_root}:{os.environ.get('PYTHONPATH', '')}".rstrip(":"),
+        )
     for k, v in (extra_conf or {}).items():
         b = b.config(k, v)
     spark = b.getOrCreate()

@@ -38,6 +38,7 @@ def stream_level_counts(
     checkpoint_dir: str,
     window: str = "1 hour",
     watermark: str = "2 hours",
+    max_files_per_trigger: int = 8,
 ) -> DataFrame:
     """Windowed level counts over a streaming transcripts source.
 
@@ -47,7 +48,7 @@ def stream_level_counts(
     """
     stream = (
         spark.readStream.schema(TRANSCRIPT_SCHEMA)
-        .option("maxFilesPerTrigger", 8)
+        .option("maxFilesPerTrigger", max_files_per_trigger)
         .parquet(src_dir)
     )
     classified = classify_turns(enrich_turns(spark, parse_turns(stream)))
@@ -88,6 +89,40 @@ def run_available_now(
     )
     q.awaitTermination()
     return spark.table(query_name)
+
+
+def run_append_windows(
+    spark: SparkSession,
+    src_dir: str,
+    checkpoint_dir: str,
+    out_dir: str,
+    window: str = "1 hour",
+    watermark: str = "2 hours",
+    max_files_per_trigger: int = 1,
+) -> DataFrame:
+    """Drain the windowed aggregation into a parquet FILE sink in APPEND
+    mode — the production output mode, where the watermark actually works:
+    a window is emitted (finalized) only once the watermark passes its end,
+    its state is then evicted, and a row arriving later than the watermark
+    is DROPPED from the aggregation (the reference's late-data rejection,
+    log.go:51-63, expressed the Structured Streaming way). Complete mode
+    (run_available_now) keeps every window live instead — exact for parity
+    checks, unbounded state at 100 TB. maxFilesPerTrigger=1 forces one
+    micro-batch per source file so the watermark advances between files."""
+    q = (
+        stream_level_counts(
+            spark, src_dir, checkpoint_dir, window, watermark,
+            max_files_per_trigger=max_files_per_trigger,
+        )
+        .writeStream.format("parquet")
+        .option("path", out_dir)
+        .option("checkpointLocation", checkpoint_dir)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.read.parquet(out_dir)
 
 
 # ---- stateful streaming dedup (SURVEY §2.9d) ---------------------------------
