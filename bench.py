@@ -137,10 +137,31 @@ def _time_pipeline_once(
         if exec_mode == "local-cluster"
         else None
     )
+    # Scan split size tuned to the input so the SCAN stage has >= ~3 waves
+    # of tasks at the larger cluster size: the default 128 MB packing folds
+    # the bench input into ~9 partitions, idling half of a 16-executor
+    # cluster through the whole parse phase (a real cluster reading a big
+    # table gets this from its file layout for free).
+    input_bytes = sum(
+        os.path.getsize(os.path.join(input_table, f))
+        for f in os.listdir(input_table)
+        if f.endswith(".parquet")
+    )
+    split = min(128 << 20, max(8 << 20, input_bytes // (3 * max(cores, 16))))
     # shuffle partitions sized to DATA, not to the core count (what a real
     # cluster does): equal per-task volumes at both parallelism levels, no
     # spill asymmetry. AQE coalesces when 64 is too many.
-    spark = get_spark("bench_scale", cores=cores, shuffle_partitions=64, master=master)
+    spark = get_spark(
+        "bench_scale", cores=cores, shuffle_partitions=64, master=master,
+        extra_conf={
+            "spark.sql.files.maxPartitionBytes": str(split),
+            # one-core executors + tmpfs-local shuffle: waiting 3 s (the
+            # default) for a PROCESS_LOCAL slot on a cached partition costs
+            # far more than a remote read ever would — a standard knob any
+            # real deployment tunes with executor shape
+            "spark.locality.wait": "0s",
+        },
+    )
     best = None
     for t in range(trials):
         out_dir = tempfile.mkdtemp(prefix=f"tl_scale_{cores}_")

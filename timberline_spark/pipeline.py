@@ -43,6 +43,7 @@ from dataclasses import dataclass, field
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+from pyspark.sql import types as T
 
 from . import aggregate as agg
 from . import route
@@ -95,19 +96,50 @@ def files_for(n_rows: int, n_days: int) -> int:
 def _derive_files_per_date(
     spark: SparkSession, sf_dir: str, input_table: str | None, replicate: int
 ) -> int:
-    """Row count + date span from a narrow single-column aggregate over the
-    raw input (events rows map 1:1 onto transcript turns). On Iceberg this
-    is free from partition metadata; here it is one cheap ts-column scan."""
+    """Row count + date span for file sizing. Read from parquet FOOTERS on
+    the driver (no Spark job — this is metadata a real deployment gets from
+    Iceberg partition stats for free); falls back to a narrow ts-column
+    aggregate if the footers lack ts statistics."""
     src = input_table or f"{sf_dir}/events.parquet"
-    r = spark.read.parquet(src).agg(
-        F.count(F.lit(1)).alias("n"),
-        F.min("ts").alias("lo"),
-        F.max("ts").alias("hi"),
-    ).collect()[0]
-    if r["n"] == 0 or r["lo"] is None:
-        return MIN_FILES_PER_DATE
-    n_days = (r["hi"] - r["lo"]).days + 1
-    return files_for(r["n"] * (1 if input_table else max(1, replicate)), n_days)
+    try:
+        import os
+
+        import pyarrow.parquet as pq
+
+        files = (
+            [src]
+            if os.path.isfile(src)
+            else [
+                os.path.join(src, f)
+                for f in os.listdir(src)
+                if f.endswith(".parquet")
+            ]
+        )
+        n = 0
+        lo = hi = None
+        for path in files:
+            md = pq.ParquetFile(path).metadata
+            n += md.num_rows
+            ts_idx = md.schema.names.index("ts")
+            for rg in range(md.num_row_groups):
+                st = md.row_group(rg).column(ts_idx).statistics
+                if st is None or not st.has_min_max:
+                    raise ValueError("no ts stats")
+                lo = st.min if lo is None else min(lo, st.min)
+                hi = st.max if hi is None else max(hi, st.max)
+        if n == 0 or lo is None:
+            return MIN_FILES_PER_DATE
+    except Exception:
+        r = spark.read.parquet(src).agg(
+            F.count(F.lit(1)).alias("n"),
+            F.min("ts").alias("lo"),
+            F.max("ts").alias("hi"),
+        ).collect()[0]
+        n, lo, hi = r["n"], r["lo"], r["hi"]
+        if n == 0 or lo is None:
+            return MIN_FILES_PER_DATE
+    n_days = (hi - lo).days + 1
+    return files_for(n * (1 if input_table else max(1, replicate)), n_days)
 
 
 def _read_lineage(spark: SparkSession, out_dir: str) -> DataFrame:
@@ -118,11 +150,72 @@ def _read_lineage(spark: SparkSession, out_dir: str) -> DataFrame:
     return spark.read.parquet(f"{out_dir}/_lineage")
 
 
+_PA_TYPES = {"string": "string", "bigint": "int64", "double": "float64"}
+
+
 def _append(spark: SparkSession, out_dir: str, table: str, rows, schema: str):
-    if rows:
-        spark.createDataFrame(rows, schema).coalesce(1).write.mode("append").parquet(
-            f"{out_dir}/{table}"
-        )
+    """Append tiny bookkeeping rows as ONE driver-written parquet file.
+
+    These are a handful of rows per run; a Spark job for each (the round-2
+    coalesce(1) writes) costs a full schedule/commit round-trip on a real
+    cluster — part of the measured ~20 s serial tail that caps N->4N
+    scaling. pyarrow on the driver writes the same parquet with zero
+    cluster involvement; Spark reads the directory identically."""
+    if not rows:
+        return
+    import os
+    import uuid
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    fields = []
+    for part in schema.split(","):
+        name, typ = part.strip().split()
+        fields.append((name, getattr(pa, _PA_TYPES[typ])()))
+    cols = list(zip(*rows))
+    t = pa.table(
+        {name: pa.array(list(col), type=typ) for (name, typ), col in zip(fields, cols)}
+    )
+    os.makedirs(f"{out_dir}/{table}", exist_ok=True)
+    pq.write_table(t, f"{out_dir}/{table}/part-{uuid.uuid4().hex}.parquet")
+
+
+def _write_small_table(out_dir: str, table: str, spark_schema, row_dicts):
+    """Overwrite a tiny result table (<= tens of rows, already collected)
+    with one driver-written parquet file — replaces a coalesce(1) Spark job
+    (same serial-tail rationale as _append). Schema is translated from the
+    Spark schema so an empty result still writes a typed, readable table."""
+    import shutil as _sh
+    import uuid
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    type_map = {
+        "long": pa.int64(),
+        "bigint": pa.int64(),
+        "int": pa.int32(),
+        "integer": pa.int32(),
+        "double": pa.float64(),
+        "string": pa.string(),
+        "boolean": pa.bool_(),
+    }
+    fields = [
+        pa.field(f.name, type_map[f.dataType.simpleString()])
+        for f in spark_schema.fields
+    ]
+    t = pa.table(
+        {
+            f.name: pa.array([d[f.name] for d in row_dicts], type=f.type)
+            for f in fields
+        }
+    )
+    import os
+
+    _sh.rmtree(f"{out_dir}/{table}", ignore_errors=True)
+    os.makedirs(f"{out_dir}/{table}", exist_ok=True)
+    pq.write_table(t, f"{out_dir}/{table}/part-{uuid.uuid4().hex}.parquet")
 
 
 def run_pipeline(
@@ -330,6 +423,10 @@ def run_pipeline(
         deduped_d = agg.dedup_turns(
             route.kept_turns(stage_df), extra_keys=("p_date",)
         ).persist()
+        # materialize the ONE wide shuffle before fanning out: the three
+        # result branches below then read the cached frame concurrently
+        # instead of racing to populate it
+        deduped_d.count()
         # S7 date-keyed upsert (analysis_results_store.py:75-131 keeps one
         # result row set per analysis_date): results partitioned by
         # analysis_date + dynamic partition overwrite = MERGE keyed by date.
@@ -339,39 +436,52 @@ def run_pipeline(
         scored_d = agg.score_clusters(
             agg.report_buckets(deduped_d, extra_keys=("p_date",))
         ).withColumnRenamed("p_date", "analysis_date")
-        scored_d.withColumn("run_id", F.lit(run_id)).write.mode(
-            "overwrite"
-        ).partitionBy("analysis_date").parquet(f"{out_dir}/analysis_results")
-        agg.run_summary(
-            scored_d, group_keys=("analysis_date",)
-        ).withColumn("run_id", F.lit(run_id)).write.mode("overwrite").partitionBy(
-            "analysis_date"
-        ).parquet(f"{out_dir}/analysis_summary")
-        deduped = agg.dedup_rollup(deduped_d)
-        scored = agg.score_clusters(agg.report_buckets(deduped)).persist()
-        scored.withColumn("run_id", F.lit(run_id)).write.mode("overwrite").parquet(
-            f"{out_dir}/report_buckets"
-        )
-        top = agg.top_issues(scored)
-        top_rows = top.collect()  # <= TOP_ISSUES_N rows by construction
-        summary_df = agg.run_summary(scored)
-        summary_row = summary_df.collect()[0]
-        with ThreadPoolExecutor(2) as ex2:
-            f1 = ex2.submit(
-                lambda: spark.createDataFrame(top_rows, top.schema)
-                .withColumn("run_id", F.lit(run_id))
-                .coalesce(1)
-                .write.mode("overwrite")
-                .parquet(f"{out_dir}/top_issues")
+
+        def _write_dated_results():
+            scored_d.withColumn("run_id", F.lit(run_id)).write.mode(
+                "overwrite"
+            ).partitionBy("analysis_date").parquet(f"{out_dir}/analysis_results")
+
+        def _write_dated_summary():
+            agg.run_summary(
+                scored_d, group_keys=("analysis_date",)
+            ).withColumn("run_id", F.lit(run_id)).write.mode(
+                "overwrite"
+            ).partitionBy("analysis_date").parquet(f"{out_dir}/analysis_summary")
+
+        with ThreadPoolExecutor(4) as dex:
+            dated_futs = [
+                dex.submit(_write_dated_results),
+                dex.submit(_write_dated_summary),
+            ]
+            # the global chain proceeds concurrently on this thread (FAIR
+            # scheduler interleaves the small jobs); inputs are the cached
+            # dated frame, so nothing recomputes the wide shuffle
+            deduped = agg.dedup_rollup(deduped_d)
+            scored = agg.score_clusters(agg.report_buckets(deduped)).persist()
+            scored.withColumn("run_id", F.lit(run_id)).write.mode(
+                "overwrite"
+            ).parquet(f"{out_dir}/report_buckets")
+            top = agg.top_issues(scored)
+            top_rows = top.collect()  # <= TOP_ISSUES_N rows by construction
+            summary_df = agg.run_summary(scored)
+            summary_row = summary_df.collect()[0]
+            # tiny tables from already-collected rows: driver-written, no job
+            run_field = T.StructField("run_id", T.StringType())
+            _write_small_table(
+                out_dir,
+                "top_issues",
+                T.StructType(top.schema.fields + [run_field]),
+                [{**r.asDict(), "run_id": run_id} for r in top_rows],
             )
-            f2 = ex2.submit(
-                lambda: spark.createDataFrame([summary_row], summary_df.schema)
-                .withColumn("run_id", F.lit(run_id))
-                .coalesce(1)
-                .write.mode("overwrite")
-                .parquet(f"{out_dir}/report_summary")
+            _write_small_table(
+                out_dir,
+                "report_summary",
+                T.StructType(summary_df.schema.fields + [run_field]),
+                [{**summary_row.asDict(), "run_id": run_id}],
             )
-            f1.result(), f2.result()
+            for f in dated_futs:
+                f.result()
         scored.unpersist()
         deduped_d.unpersist()
         return top_rows, summary_row, time.time() - t_s

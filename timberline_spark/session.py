@@ -59,8 +59,19 @@ def get_spark(
         .config("spark.scheduler.mode", "FAIR")
     )
     if master.startswith("local-cluster["):
-        mem_mb = int(master.rstrip("]").split(",")[-1])
+        n_workers, exec_cores, mem_mb = (
+            int(v) for v in master[len("local-cluster["):-1].split(",")
+        )
         b = b.config("spark.executor.memory", f"{mem_mb}m")
+        # Executor JVMs otherwise size GC/JIT thread pools to the HOST's 32
+        # cores — 16 one-core executors would spawn ~400 background threads
+        # (measured: wild 19-77s variance on identical write stages). A real
+        # cluster pins each executor to its cgroup cores; ActiveProcessorCount
+        # is the single-box equivalent.
+        b = b.config(
+            "spark.executor.extraJavaOptions",
+            f"-XX:ActiveProcessorCount={exec_cores}",
+        )
         repo_root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
         b = b.config(
             "spark.executorEnv.PYTHONPATH",
