@@ -117,6 +117,80 @@ def doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     return df.select("doc_id", fp.alias("fingerprint"))
 
 
+# curation thresholds (doc_curated): the standard pretraining-filter shape
+CURATE_MIN_TOKENS = 5
+CURATE_MAX_TOKENS = 5000
+CURATE_MAX_PUNCT_RATIO = 0.2
+
+
+def doc_curated(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end training-data curation filter: the composition a real
+    corpus pipeline runs before tokenization — language (stopword
+    heuristic) == en, token count in bounds, punctuation ratio bounded,
+    and exact-dedup keeper only (doc_id == min doc_id of its
+    normalized-text group). One scan + one combinable groupBy on the
+    normalized text; every signal is shared with the standalone operators
+    above so thresholds stay in one place."""
+    df = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    toks = _tokens(F.col("text"))
+    n_tok = F.size(toks).cast("long")
+    n_stop = (
+        F.size(F.regexp_extract_all(F.lower(F.col("text")), F.lit(STOPWORD_RE), 0))
+        .cast("long")
+    )
+    n_punct = (
+        F.size(F.regexp_extract_all(F.lower(F.col("text")), F.lit(PUNCT_RE), 0))
+        .cast("long")
+    )
+    norm = F.regexp_replace(F.trim(F.lower(F.col("text"))), "[ ]+", " ")
+    scored = df.select(
+        "doc_id",
+        norm.alias("norm_text"),
+        n_tok.alias("n_tokens"),
+        F.round(n_punct / F.nullif(F.length("text").cast("double"), F.lit(0.0)), 4)
+        .alias("punct_ratio"),
+        (
+            (n_tok > 0)
+            & (n_stop.cast("double") / n_tok.cast("double") >= LANG_STOPWORD_MIN_RATIO)
+        ).alias("is_en"),
+    )
+    keepers = scored.groupBy("norm_text").agg(F.min("doc_id").alias("keeper_id"))
+    return (
+        scored.join(keepers, "norm_text")
+        .filter(
+            (F.col("doc_id") == F.col("keeper_id"))
+            & F.col("is_en")
+            & (F.col("n_tokens") >= CURATE_MIN_TOKENS)
+            & (F.col("n_tokens") <= CURATE_MAX_TOKENS)
+            & (F.col("punct_ratio") <= CURATE_MAX_PUNCT_RATIO)
+        )
+        .select("doc_id", "n_tokens", "punct_ratio")
+    )
+
+
+def oracle_curated() -> str:
+    return f"""
+WITH scored AS (
+  SELECT doc_id,
+    regexp_replace(trim(lower(text)), '[ ]+', ' ', 'g') AS norm_text,
+    CAST(len(regexp_extract_all(lower(text), '{TOKEN_RE}')) AS BIGINT) AS n_tokens,
+    ROUND(len(regexp_extract_all(lower(text), '{PUNCT_RE}'))
+      / NULLIF(CAST(length(text) AS DOUBLE), 0.0), 4) AS punct_ratio,
+    (len(regexp_extract_all(lower(text), '{TOKEN_RE}')) > 0 AND
+     CAST(len(regexp_extract_all(lower(text), '{STOPWORD_RE}')) AS DOUBLE)
+       / len(regexp_extract_all(lower(text), '{TOKEN_RE}'))
+       >= {LANG_STOPWORD_MIN_RATIO}) AS is_en
+  FROM documents
+), keepers AS (
+  SELECT norm_text, MIN(doc_id) AS keeper_id FROM scored GROUP BY norm_text
+)
+SELECT s.doc_id, s.n_tokens, s.punct_ratio
+FROM scored s JOIN keepers k USING (norm_text)
+WHERE s.doc_id = k.keeper_id AND s.is_en
+  AND s.n_tokens BETWEEN {CURATE_MIN_TOKENS} AND {CURATE_MAX_TOKENS}
+  AND s.punct_ratio <= {CURATE_MAX_PUNCT_RATIO}"""
+
+
 # ---- matching DuckDB oracle SQL ---------------------------------------------
 
 

@@ -227,6 +227,8 @@ def run_pipeline(
     replicate: int = 1,
     max_partitions: int | None = None,
     input_table: str | None = None,
+    webhook_url: str | None = None,
+    webhook_spool: str | None = None,
 ) -> RunResult:
     """Run (or resume) the full pipeline.
 
@@ -514,6 +516,15 @@ def run_pipeline(
     with open(f"{out_dir}/daily_analysis_{run_id}.json", "w") as fh:
         json.dump(report_doc, fh, indent=2, default=str)
 
+    # S8 webhook notification (generator.py:133-166): POST the summary
+    # payload, spool on failure (at-least-once; no silent drop)
+    if webhook_url or webhook_spool:
+        from .webhook import post_report
+
+        counts["webhook"] = post_report(
+            report_doc, url=webhook_url, spool_dir=webhook_spool
+        )
+
     return RunResult(
         run_id=run_id,
         partitions_processed=todo,
@@ -546,6 +557,11 @@ def main(argv=None):
     ap.add_argument("--max-partitions", type=int, default=None)
     ap.add_argument("--cores", type=int, default=None)
     ap.add_argument("--input-table", default=None, help="pre-built transcripts parquet")
+    ap.add_argument("--webhook-url", default=None, help="POST the report summary here")
+    ap.add_argument(
+        "--webhook-spool", default=None,
+        help="spool dir for undeliverable webhook payloads",
+    )
     args = ap.parse_args(argv)
     spark = get_spark("timberline_pipeline", cores=args.cores)
     res = run_pipeline(
@@ -557,6 +573,8 @@ def main(argv=None):
         replicate=args.replicate,
         max_partitions=args.max_partitions,
         input_table=args.input_table,
+        webhook_url=args.webhook_url,
+        webhook_spool=args.webhook_spool,
     )
     print(
         json.dumps(
