@@ -262,6 +262,19 @@ def test_cosine_df_cap_keeps_heavy_dup_groups(spark, tmp_path):
     assert all(r.cosine == 1.0 for r in rows if (r.doc_a, r.doc_b) in dup_pairs)
 
 
+def test_neardup_components_group_heavy_dups(spark, tmp_path):
+    """All identical docs collapse into ONE component labeled by the min
+    doc_id; unique docs stay singleton components."""
+    n_dup = _heavy_dup_corpus(spark, tmp_path)
+    comp = {
+        r.doc_id: r.component
+        for r in sim.doc_neardup_components(spark, str(tmp_path), 0.99).collect()
+    }
+    assert {comp[i] for i in range(n_dup)} == {0}
+    for i in range(1000, 1020):
+        assert comp[i] == i
+
+
 # ---- driver-style blanket check: every registered extras oracle -------------
 
 

@@ -391,6 +391,72 @@ def doc_cosine_neardup(
     )
 
 
+def doc_neardup_components(
+    spark: SparkSession,
+    sf_dir: str,
+    threshold: float = 0.99,
+    max_iter: int = 20,
+) -> DataFrame:
+    """Near-duplicate GROUPS: connected components over the cosine near-dup
+    pair graph, labeled by the component's minimum doc_id — what a real
+    dedup pipeline emits (keep one doc per component).
+
+    Iterative min-label propagation: every doc starts labeled with its own
+    id; each round replaces a doc's label with the minimum label in its
+    closed neighborhood; converges in O(graph diameter) rounds (the
+    alternating large/small-star optimization drops diameter to O(log n)
+    for pathological chains — unnecessary here since near-dup components
+    are dense cliques with tiny diameters). Each round is one equi-join +
+    one combinable groupBy; the loop runs on the driver but touches only
+    per-round aggregate counts (sum of labels, monotonically decreasing)
+    to detect convergence — no per-row driver data.
+    """
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select("doc_id")
+    pairs = doc_cosine_neardup(spark, sf_dir, threshold).select("doc_a", "doc_b")
+    # symmetric edges + self-loops (keeps isolated docs and own labels)
+    edges = (
+        pairs.select(F.col("doc_a").alias("src"), F.col("doc_b").alias("dst"))
+        .union(pairs.select(F.col("doc_b").alias("src"), F.col("doc_a").alias("dst")))
+        .union(docs.select(F.col("doc_id").alias("src"), F.col("doc_id").alias("dst")))
+        .persist()
+    )
+    labels = docs.select("doc_id", F.col("doc_id").alias("component")).persist()
+    prev_sum = labels.agg(F.sum("component")).collect()[0][0]
+    for _ in range(max_iter):
+        new_labels = (
+            edges.join(labels, edges["dst"] == labels["doc_id"])
+            .groupBy(F.col("src").alias("doc_id"))
+            .agg(F.min("component").alias("component"))
+            .persist()
+        )
+        new_sum = new_labels.agg(F.sum("component")).collect()[0][0]
+        labels.unpersist()
+        labels = new_labels
+        if new_sum == prev_sum:  # min-label is monotone; fixpoint reached
+            break
+        prev_sum = new_sum
+    edges.unpersist()
+    return labels.select("doc_id", "component")
+
+
+def oracle_neardup_components(threshold: float = 0.99) -> str:
+    """DuckDB oracle: recursive-CTE transitive closure, min reachable id.
+    Exact for the test corpus sizes; the Spark side is the scale path."""
+    pairs = oracle_cosine_neardup(threshold)
+    return f"""
+WITH RECURSIVE pairs AS ({pairs}
+), edges AS (
+  SELECT doc_a AS src, doc_b AS dst FROM pairs
+  UNION ALL
+  SELECT doc_b AS src, doc_a AS dst FROM pairs
+), reach(doc_id, lab) AS (
+  SELECT doc_id, doc_id FROM documents
+  UNION
+  SELECT e.src, r.lab FROM edges e JOIN reach r ON e.dst = r.doc_id
+)
+SELECT doc_id, MIN(lab) AS component FROM reach GROUP BY doc_id"""
+
+
 def oracle_cosine_neardup(
     threshold: float = 0.95, max_dim_df: int = MAX_COSINE_DIM_DF
 ) -> str:

@@ -379,6 +379,7 @@ def _extra_registries():
         "doc_minhash_lsh_pairs": lambda s, d: dd.doc_minhash_lsh_pairs(s, d, 0.2),
         "doc_simhash": dd.doc_simhash,
         "doc_cosine_neardup": lambda s, d: sim.doc_cosine_neardup(s, d, 0.99),
+        "doc_neardup_components": lambda s, d: sim.doc_neardup_components(s, d, 0.99),
         "emb_knn_brute": sim.emb_knn_brute,
         "emb_knn_lsh": sim.emb_knn_lsh,
         "emb_centroid_rep": sim.emb_centroid_rep,
@@ -400,6 +401,7 @@ def _extra_registries():
         "doc_minhash_lsh_pairs": dd.oracle_minhash_lsh_pairs(0.2),
         "doc_simhash": dd.oracle_simhash(),
         "doc_cosine_neardup": sim.oracle_cosine_neardup(0.99),
+        "doc_neardup_components": sim.oracle_neardup_components(0.99),
         "emb_knn_brute": sim.oracle_knn_brute(),
         "emb_knn_lsh": sim.oracle_knn_lsh(),
         "emb_centroid_rep": sim.oracle_centroid_rep(),
