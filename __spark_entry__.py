@@ -33,8 +33,9 @@ def oracle_sql() -> dict[str, str]:
         fn = getattr(sqlgen, f"q_{oracle_name}", None)
         if fn is not None:
             out[name] = fn()
-    # non-SQL-expressible extras (minhash/simhash/LSH/multimodal) are
-    # intentionally absent -> driver records the weaker rows-only check;
-    # their exact semantics are pinned by pure-Python oracles in tests.
+    # every registered query has a DuckDB oracle (41/41 as of round 3,
+    # including MinHash banding, hyperplane LSH, the multimodal fake
+    # decoder, and the connected-components closure); pure-Python oracles
+    # in tests additionally pin the non-SQL constructions.
     out.update(Q.EXTRA_ORACLES)
     return out

@@ -105,10 +105,7 @@ def flexible_ts_ms(c: Column) -> Column:
     attempts = [F.try_to_timestamp(c, F.lit(f)) for f in FLEX_TS_FORMATS]
     from_str = F.unix_millis(F.coalesce(*attempts))
     num = F.when(c.rlike("^[0-9]+([.][0-9]+)?$"), c.cast("double"))
-    from_num = F.when(
-        num < 1e12, (num * 1000).cast("long")
-    ).otherwise(num.cast("long"))
-    return F.coalesce(from_str, from_num)
+    return F.coalesce(from_str, seconds_heuristic_ms(num))
 
 
 def seconds_heuristic_ms(num: Column) -> Column:
