@@ -54,7 +54,7 @@ def _phase_times(cores: int, input_table: str, trials: int) -> dict:
         "overwrite").parquet(f"{d}/flat"))
     timed("classify_part_write", lambda: classified().withColumn(
         "p_date", F.date_format(F.to_timestamp(F.col("effective_ts_ms") / 1000.0), "yyyy-MM-dd")
-    ).repartition(F.col("p_date"), F.pmod(F.col("conv_num"), F.lit(4)))
+    ).repartition(F.col("p_date"), F.pmod(F.col("conv_key"), F.lit(4)))
      .write.mode("overwrite").partitionBy("p_date").parquet(f"{d}/part"))
     stage = spark.read.parquet(f"{d}/part")
     timed("dedup_buckets", lambda: agg.score_clusters(

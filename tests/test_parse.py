@@ -96,10 +96,13 @@ def test_parse_pandas(spark):
     _check([r.asDict() for r in df.collect()])
 
 
-def test_conv_num_extraction(spark):
+def test_conv_key_is_cross_engine_string_hash(spark):
+    from timberline_spark.extras.xhash import py_char_hash
+
     df = parse_turns(_mk_df(spark))
-    nums = {r.conv_id: r.conv_num for r in df.select("conv_id", "conv_num").distinct().collect()}
-    assert nums == {"conv-000000001": 1, "conv-000000002": 2}
+    keys = {r.conv_id: r.conv_key for r in df.select("conv_id", "conv_key").distinct().collect()}
+    assert keys == {c: py_char_hash(c) for c in keys}
+    assert all(k is not None for k in keys.values())
 
 
 def test_flexible_timestamp_formats(spark):

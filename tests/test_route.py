@@ -5,11 +5,13 @@ fluent-bit-configmap.yaml:77-107)."""
 from __future__ import annotations
 
 import datetime
+import uuid
 
 from pyspark.sql import functions as F
 
 from timberline_spark import route
 from timberline_spark.dicts import SAMPLING_RATE_PCT, HASH_A, HASH_B, HASH_P
+from timberline_spark.extras.xhash import py_char_hash
 from timberline_spark.enrich import enrich_turns
 from timberline_spark.parse import parse_turns
 from timberline_spark.transcripts import load_transcripts
@@ -26,13 +28,47 @@ def _classified(spark):
 def test_sampling_is_pure_function_of_keys(spark):
     rows = (
         _classified(spark)
-        .select("conv_num", "turn_idx", "hash100")
+        .select("conv_id", "turn_idx", "hash100")
         .limit(200)
         .collect()
     )
     for r in rows:
-        exp = ((r.conv_num * HASH_A + r.turn_idx * HASH_B) % HASH_P) % 100
+        k = py_char_hash(r.conv_id)
+        exp = (((k % HASH_P) * HASH_A + r.turn_idx * HASH_B) % HASH_P) % 100
         assert r.hash100 == exp
+
+
+def test_sampling_covers_arbitrary_conv_id_formats(spark):
+    """The sampler must be well-defined for ANY conv_id string (the input
+    contract is `conv_id: string`). Regression for the round-3 landmine
+    where non-`conv-N` ids (UUIDs) null-hashed and every INFO/DEBUG turn
+    of those conversations was silently dropped."""
+    base_ts = datetime.datetime(2024, 1, 1)
+    rows = []
+    uuids = [uuid.UUID(int=i * 2654435761, version=4) for i in range(40)]
+    for u in uuids:
+        for t in range(25):
+            rows.append((str(u), t, "user", f"2024-01-01 00:00:00 INFO [s-1] msg {t}", "", base_ts))
+    df = spark.createDataFrame(
+        rows,
+        "conv_id string, turn_idx int, role string, text string, tool string, ts timestamp",
+    )
+    out = route.classify_turns(enrich_turns(spark, parse_turns(df))).cache()
+    # nothing null-hashes, nothing is dropped from classification
+    assert out.filter(F.col("hash100").isNull()).count() == 0
+    assert out.filter(F.col("kept").isNull()).count() == 0
+    # all rows are valid INFO -> kept iff sampled; rate lands near nominal
+    n = out.count()
+    kept = out.filter("kept").count()
+    assert n == 1000
+    assert 0 < kept < n
+    assert abs(kept / n * 100 - SAMPLING_RATE_PCT) < 5
+    # and the hash matches the cross-engine polynomial exactly
+    for r in out.select("conv_id", "turn_idx", "hash100").limit(50).collect():
+        k = py_char_hash(r.conv_id)
+        exp = (((k % HASH_P) * HASH_A + r.turn_idx * HASH_B) % HASH_P) % 100
+        assert r.hash100 == exp
+    out.unpersist()
 
 
 def test_fanout_partition_of_valid_rows(spark):

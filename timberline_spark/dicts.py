@@ -43,13 +43,14 @@ HASH_B = 40_503
 HASH_P = 1_000_003
 
 # SQL expression fragment (valid in both Spark SQL and DuckDB) computing the
-# per-turn sampling hash in [0, 100). conv_num must be a BIGINT expression.
-def hash100_sql(conv_num_expr: str, turn_idx_expr: str) -> str:
-    # conv_num % HASH_P first: identical value by mod arithmetic, but the
-    # intermediate product stays < 2^63 for conv_num up to the replicate
-    # stride (ANSI mode would error on a bare conv_num * HASH_A overflow)
+# per-turn sampling hash in [0, 100). conv_key must be a BIGINT expression
+# (the polynomial string hash of conv_id, extras/xhash.py — < 2^30).
+def hash100_sql(conv_key_expr: str, turn_idx_expr: str) -> str:
+    # conv_key % HASH_P first: identical value by mod arithmetic, but the
+    # intermediate product stays < 2^63 even for a full 2^30 hash value
+    # (ANSI mode would error on overflow)
     return (
-        f"((({conv_num_expr} % {HASH_P}) * {HASH_A}"
+        f"((({conv_key_expr} % {HASH_P}) * {HASH_A}"
         f" + CAST({turn_idx_expr} AS BIGINT) * {HASH_B}) % {HASH_P}) % 100"
     )
 

@@ -50,6 +50,8 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
+from .extras.xhash import char_hash
+
 # Grammar patterns (shared with the oracle SQL generator).
 RE_PLAIN = (
     r"^([0-9]{4}-[0-9]{2}-[0-9]{2} [0-9]{2}:[0-9]{2}:[0-9]{2}) "
@@ -65,7 +67,6 @@ RE_KLOG = (
 # without it the native path would route newline-bearing logs to anomalies
 # while the pandas path accepted them.
 RE_FB_LOG = r"(?s)^([A-Z]+) (.*)$"
-RE_CONV_NUM = r"^conv-([0-9]+)$"
 
 TS_FMT = "yyyy-MM-dd HH:mm:ss"
 
@@ -130,7 +131,14 @@ def parse_turns(df: DataFrame, impl: str = "native") -> DataFrame:
     Adds: grammar, level_raw, service, message, text_ts_ms (epoch millis
     parsed out of the text, null when the grammar carries no timestamp),
     labels (open map<string,string> metadata after the 3-path fallback),
-    conv_num (numeric conversation key used by the deterministic sampler).
+    conv_key (numeric conversation key used by the deterministic sampler
+    and the stage-table salt).
+
+    conv_key is the cross-engine polynomial hash of the conv_id STRING
+    (extras/xhash.py char_hash) — never null for any id format. The input
+    contract says ``conv_id: string``; an earlier revision extracted a
+    number from ``conv-N``-shaped ids only, which silently null-sampled
+    (dropped) every INFO/DEBUG turn of a UUID-keyed conversation.
     """
     if impl == "native":
         df = _parse_native(df)
@@ -138,9 +146,7 @@ def parse_turns(df: DataFrame, impl: str = "native") -> DataFrame:
         df = _parse_pandas(df)
     else:
         raise ValueError(f"unknown parse impl: {impl}")
-    return df.withColumn(
-        "conv_num", F.regexp_extract("conv_id", RE_CONV_NUM, 1).cast("long")
-    )
+    return df.withColumn("conv_key", char_hash(F.col("conv_id")))
 
 
 def _parse_native(df: DataFrame) -> DataFrame:

@@ -256,7 +256,7 @@ def run_pipeline(
         "conv_id", "turn_idx", "role", "tool", "tool_category", "is_sensitive",
         "ts", "service", "message", "level", "severity", "severity_score",
         "is_error", "is_warning", "effective_ts_ms", "anomaly_reason",
-        "is_valid", "keep_level", "keep_sampled", "kept", "conv_num", "labels",
+        "is_valid", "keep_level", "keep_sampled", "kept", "conv_key", "labels",
     ]
     # run_id rides along in the stage table: a date partition belongs to the
     # run that last wrote it (dynamic overwrite keeps one writer per date),
@@ -310,7 +310,7 @@ def run_pipeline(
     if wrote:
         (
             batch.repartition(
-                F.col("p_date"), F.pmod(F.col("conv_num"), F.lit(files_per_date))
+                F.col("p_date"), F.pmod(F.col("conv_key"), F.lit(files_per_date))
             )
             .write.mode("overwrite")
             .partitionBy("p_date")

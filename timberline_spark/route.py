@@ -12,9 +12,11 @@ Reference semantics:
 - Keep/sample routing (``helm/timberline/templates/
   fluent-bit-configmap.yaml:77-107``): keep every error/fatal/warn line,
   sample the rest at SAMPLING_RATE_PCT. The reference uses math.random; we
-  use an arithmetic hash of (conv_num, turn_idx) so the routed-row set is a
-  pure function of the data (identical across reruns and cluster sizes, and
-  reproducible by the DuckDB oracle).
+  use an arithmetic hash of (conv_key, turn_idx) — conv_key being the
+  cross-engine polynomial hash of the conv_id STRING — so the routed-row
+  set is a pure function of the data (identical across reruns and cluster
+  sizes, reproducible by the DuckDB oracle, and well-defined for ANY
+  conv_id format: numeric suffixes, UUIDs, arbitrary strings).
 
 Anomaly reason precedence (first match wins):
   empty_text > unparseable_ts > empty_message > invalid_bounds > unknown_level.
@@ -46,14 +48,14 @@ ANOMALY_REASONS = (
 )
 
 
-def hash100(conv_num: Column, turn_idx: Column) -> Column:
+def hash100(conv_key: Column, turn_idx: Column) -> Column:
     """Deterministic per-turn hash in [0, 100) — pure BIGINT arithmetic.
 
-    conv_num is reduced mod HASH_P before the multiply (same value by mod
-    arithmetic) so the product can't overflow long for replicated bench
-    conv_id spaces (transcripts.REPLICA_STRIDE)."""
+    conv_key is the string hash of conv_id (< 2^30, never null); it is
+    reduced mod HASH_P before the multiply (same value by mod arithmetic)
+    so the product stays far below 2^63."""
     return (
-        ((conv_num % F.lit(HASH_P)) * F.lit(HASH_A)
+        ((conv_key % F.lit(HASH_P)) * F.lit(HASH_A)
          + turn_idx.cast("long") * F.lit(HASH_B))
         % F.lit(HASH_P)
     ) % 100
@@ -81,7 +83,7 @@ def classify_turns(df: DataFrame) -> DataFrame:
     )
     df = df.withColumn("anomaly_reason", reason)
     df = df.withColumn("is_valid", F.col("anomaly_reason").isNull())
-    df = df.withColumn("hash100", hash100(F.col("conv_num"), F.col("turn_idx")))
+    df = df.withColumn("hash100", hash100(F.col("conv_key"), F.col("turn_idx")))
     keep_level = F.col("is_valid") & F.col("level").isin(*KEEP_LEVELS)
     sampled = (
         F.col("is_valid")

@@ -16,7 +16,8 @@ Each public ``q_*`` function returns a complete SELECT statement.
 from __future__ import annotations
 
 from . import dicts
-from .parse import RE_CONV_NUM, RE_FB_LOG, RE_KLOG, RE_PLAIN
+from .extras.xhash import sql_char_hash_dialect
+from .parse import RE_FB_LOG, RE_KLOG, RE_PLAIN
 from .transcripts import DUCKDB, SPARK, Dialect, transcripts_sql
 
 
@@ -66,14 +67,14 @@ def _bucket_sql(score_col: str, out: str) -> str:
 def pipeline_ctes(d: Dialect, events_rel: str = "events") -> str:
     """The WITH-clause body shared by every oracle query."""
     keep_levels = ",".join(f"'{v}'" for v in ("ERROR", "CRITICAL", "WARNING"))
-    h100 = dicts.hash100_sql("conv_num", "turn_idx")
+    h100 = dicts.hash100_sql("conv_key", "turn_idx")
     m = d.mat
     return f"""
 WITH tr AS {m}(
 {transcripts_sql(d, events_rel)}
 ), parsed0 AS {m}(
   SELECT conv_id, turn_idx, role, tool, ts, text,
-    CAST(regexp_extract(conv_id, '{_re(d, RE_CONV_NUM)}', 1) AS BIGINT) AS conv_num,
+    {sql_char_hash_dialect(d.name, "conv_id")} AS conv_key,
     NULLIF(regexp_extract(text, '{_re(d, RE_PLAIN)}', 2), '') AS plain_lvl,
     NULLIF(regexp_extract(text, '{_re(d, RE_PLAIN)}', 3), '') AS plain_svc,
     regexp_extract(text, '{_re(d, RE_PLAIN)}', 4) AS plain_msg,
@@ -107,7 +108,7 @@ WITH tr AS {m}(
   FROM (SELECT *, NULLIF(regexp_extract(fb_log, '{_re(d, RE_FB_LOG)}', 1), '') AS fb_lvl
         FROM parsed0) p0
 ), parsed AS {m}(
-  SELECT conv_id, turn_idx, role, tool, ts, text, conv_num,
+  SELECT conv_id, turn_idx, role, tool, ts, text, conv_key,
     lab_app, lab_sev, lab_tier, grammar,
     CASE grammar WHEN 'plain' THEN plain_lvl WHEN 'json' THEN json_lvl
          WHEN 'fluentbit' THEN fb_lvl WHEN 'klog' THEN klog_lvl END AS level_raw,
@@ -346,7 +347,7 @@ def q_level_info_default(d: Dialect = DUCKDB) -> str:
     where a parsed-but-unknown level coalesces to INFO (log.go:66-86)."""
     info = dicts.level_defaults("INFO")
     keep_levels = ",".join(f"'{v}'" for v in ("ERROR", "CRITICAL", "WARNING"))
-    h100 = dicts.hash100_sql("conv_num", "turn_idx")
+    h100 = dicts.hash100_sql("conv_key", "turn_idx")
     return _q(
         d,
         f"""SELECT level, severity, COUNT(*) AS n,

@@ -87,8 +87,8 @@ DUCKDB = Dialect("duckdb", "VARCHAR")
 
 # bench-replica conv_id offset: must exceed any source user_id so replica
 # conv_id spaces stay disjoint (the scaling bench and dedup determinism rely
-# on that). 10^10 >> any seeded user_id; hash100 reduces mod HASH_P before
-# multiplying, so the larger conv_num cannot overflow.
+# on that). 10^10 >> any seeded user_id; the sampling hash keys on the
+# conv_id STRING (parse.conv_key), so replica ids just hash independently.
 REPLICA_STRIDE = 10_000_000_000
 
 
