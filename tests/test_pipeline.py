@@ -150,6 +150,39 @@ def test_dedup_rollup_equals_direct(spark):
     assert direct.equals(rolled)
 
 
+def test_dedup_hash_key_escape_hatch(spark):
+    """DEDUP_HASH_KEY contract: the exact-string-key path produces output
+    identical to the default hashed-key path (no collisions in this corpus),
+    and the audit sentinel reports zero collision groups."""
+    from timberline_spark import aggregate as agg
+    from timberline_spark import route
+    from timberline_spark.enrich import enrich_turns
+    from timberline_spark.parse import parse_turns
+    from timberline_spark.transcripts import load_transcripts
+
+    kept = route.kept_turns(
+        route.classify_turns(
+            enrich_turns(spark, parse_turns(load_transcripts(spark, SF_TINY)))
+        )
+    ).cache()
+    hashed = normalize(agg.dedup_turns(kept, hash_key=True).toPandas())
+    exact = normalize(agg.dedup_turns(kept, hash_key=False).toPandas())
+    assert hashed.equals(exact)
+    audited = agg.dedup_turns(kept, audit=True)
+    assert "key_collision" in audited.columns
+    assert audited.filter("key_collision").count() == 0
+    # audit mode does not change the dedup result itself
+    assert normalize(audited.drop("key_collision").toPandas()).equals(hashed)
+    kept.unpersist()
+
+
+def test_collision_metric_written(spark, outdirs):
+    full_dir, _ = outdirs
+    metrics = spark.read.parquet(f"{full_dir}/_metrics")
+    rows = metrics.filter(F.col("stage") == "dedup_hash_collisions").collect()
+    assert rows and all(r.rows_out == 0 for r in rows)
+
+
 def test_files_per_date_scales_with_input():
     from timberline_spark.pipeline import files_for
 
@@ -158,3 +191,45 @@ def test_files_per_date_scales_with_input():
     assert files_for(3_200_000_000, 30) == 427  # 32000x: scans stay parallel
     assert files_for(10**12, 30) == 512         # capped
     assert files_for(0, 0) == 4
+
+
+def test_derive_files_handles_partitioned_input(spark):
+    """A Hive-partitioned input table (p_date=... subdirs, no top-level
+    parquet) must be sized from its real footer stats, not silently fall to
+    the MIN_FILES_PER_DATE floor."""
+    from timberline_spark.pipeline import MIN_FILES_PER_DATE, _derive_files_per_date
+    from timberline_spark.transcripts import load_transcripts
+
+    base = tempfile.mkdtemp(prefix="tl_part_")
+    try:
+        tr = load_transcripts(spark, SF_TINY).withColumn(
+            "p_date", F.date_format("ts", "yyyy-MM-dd")
+        )
+        tr.write.partitionBy("p_date").parquet(f"{base}/in_part")
+        flat = _derive_files_per_date(spark, SF_TINY, None, replicate=1)
+        part = _derive_files_per_date(spark, "", f"{base}/in_part", replicate=1)
+        # same data either way -> same sizing; tiny input sits at the floor,
+        # so also check the footer path actually saw rows (big replicate)
+        assert part == flat == MIN_FILES_PER_DATE
+        big = _derive_files_per_date(spark, SF_TINY, None, replicate=50_000)
+        assert big > MIN_FILES_PER_DATE
+    finally:
+        shutil.rmtree(base, ignore_errors=True)
+
+
+def test_write_small_table_complex_types(spark, tmp_path):
+    """_write_small_table must not crash on non-primitive columns
+    (timestamps, arrays) — pyarrow inference covers what the type map
+    doesn't."""
+    import datetime
+
+    from timberline_spark.pipeline import _write_small_table
+
+    df = spark.createDataFrame(
+        [("a", datetime.datetime(2024, 1, 1, 12), [1, 2, 3])],
+        "name string, at timestamp, xs array<int>",
+    )
+    rows = [r.asDict() for r in df.collect()]
+    _write_small_table(str(tmp_path), "t_complex", df.schema, rows)
+    back = spark.read.parquet(f"{tmp_path}/t_complex").collect()
+    assert len(back) == 1 and back[0].name == "a" and list(back[0].xs) == [1, 2, 3]

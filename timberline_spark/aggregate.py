@@ -35,6 +35,14 @@ from .dicts import LEVEL_META, SEVERITY_BUCKETS
 FREQ_BONUS_THRESHOLD = 10  # clusters with >= 10 total occurrences score +1
 TOP_ISSUES_N = 10  # models/log.py:296-299
 
+# Default group-key mode for dedup_turns/dedup_rollup: True shuffles the
+# 8-byte xxhash64 of the normalized message (roughly halves shuffle bytes
+# on the heaviest stage); False shuffles the exact string key — the escape
+# hatch for datasets where the ~n^2/2^65 64-bit collision odds (≈3% at 10^9
+# DISTINCT messages) are unacceptable. Both paths produce identical output
+# when no collision occurs (tests/test_pipeline.py pins this).
+DEDUP_HASH_KEY = True
+
 
 def _level_priority(col):
     expr = F.lit(0)
@@ -43,7 +51,12 @@ def _level_priority(col):
     return expr
 
 
-def dedup_turns(kept: DataFrame, extra_keys: tuple[str, ...] = ()) -> DataFrame:
+def dedup_turns(
+    kept: DataFrame,
+    extra_keys: tuple[str, ...] = (),
+    hash_key: bool | None = None,
+    audit: bool = False,
+) -> DataFrame:
     """Exact-key dedup: one row per normalized message, with duplicate_count.
 
     Single shuffle on the group key; representative = earliest
@@ -53,18 +66,28 @@ def dedup_turns(kept: DataFrame, extra_keys: tuple[str, ...] = ()) -> DataFrame:
     analysis_results_store.py:75-131); the global view is recoverable from
     the dated one via :func:`dedup_rollup` (min/sum are associative), so the
     pipeline never runs the wide dedup shuffle twice.
+
+    hash_key (default: module constant DEDUP_HASH_KEY) picks the shuffle
+    key: the 8-byte xxhash64 of the normalized message, or the exact string
+    key. ``audit=True`` (hash mode only) appends a ``key_collision`` boolean
+    per group: min/max of a SECOND independent 64-bit hash within the group
+    (16 extra map-side-combined bytes per group, never the string) — any
+    group whose members disagree under the second hash merged two distinct
+    messages under the first. The pipeline surfaces the sum in _metrics.
     """
+    if hash_key is None:
+        hash_key = DEDUP_HASH_KEY
+    exact = F.lower(F.col("message"))
     # Group on xxhash64(lower(message)), NOT the message itself: the wide
     # dedup shuffle otherwise carries the full message twice (as the group
     # key AND inside the rep struct). The 8-byte key roughly halves
     # shuffle bytes on the heaviest stage; dedup_key is re-derived from the
     # winning rep's message (identical for every group member). A 64-bit
     # collision would merge two unrelated messages into one count — odds
-    # ~n^2/2^65 (≈3% at 10^9 DISTINCT messages), acceptable for dedup
-    # counting; flip DEDUP_HASH_KEY off to shuffle exact keys.
-    df = kept.withColumn(
-        "dedup_h", F.xxhash64(F.lower(F.col("message")))
-    )
+    # ~n^2/2^65 (≈3% at 10^9 DISTINCT messages); pass hash_key=False (or
+    # set DEDUP_HASH_KEY = False) to shuffle exact keys instead, or
+    # audit=True to keep the cheap key and count collisions.
+    df = kept.withColumn("dedup_h", F.xxhash64(exact) if hash_key else exact)
     # min(struct(...)) hash-aggregate instead of a row_number window: gets
     # map-side partial aggregation and avoids the per-partition sort — the
     # difference between "works" and "works at 100 TB". The struct's leading
@@ -85,13 +108,21 @@ def dedup_turns(kept: DataFrame, extra_keys: tuple[str, ...] = ()) -> DataFrame:
         # Never reached by the comparison: (ts, conv_id, turn_idx) is unique.
         F.to_json(F.col("labels")).alias("labels_json"),
     )
-    g = df.groupBy(*extra_keys, "dedup_h").agg(
+    aggs = [
         F.min(rep).alias("rep"),
         F.count(F.lit(1)).alias("duplicate_count"),
         F.min("effective_ts_ms").alias("first_ts_ms"),
         F.max("effective_ts_ms").alias("last_ts_ms"),
-    )
-    return g.select(*extra_keys, *_unpack_rep())
+    ]
+    extra_cols = []
+    if audit and hash_key:
+        # independent second hash: appending a literal changes every input
+        # byte sequence, so collisions under the two hashes are independent
+        h2 = F.xxhash64(exact, F.lit("audit"))
+        aggs += [F.min(h2).alias("_h2min"), F.max(h2).alias("_h2max")]
+        extra_cols = [(F.col("_h2min") != F.col("_h2max")).alias("key_collision")]
+    g = df.groupBy(*extra_keys, "dedup_h").agg(*aggs)
+    return g.select(*extra_keys, *_unpack_rep(), *extra_cols)
 
 
 def _unpack_rep():
@@ -113,7 +144,7 @@ def _unpack_rep():
     ]
 
 
-def dedup_rollup(dated: DataFrame) -> DataFrame:
+def dedup_rollup(dated: DataFrame, hash_key: bool | None = None) -> DataFrame:
     """Global dedup derived from a per-date dedup frame WITHOUT re-shuffling
     the raw rows: min(rep)/sum(count)/min/max are associative, and a date
     group's rep carries first_ts_ms == its effective_ts_ms (the min-struct's
@@ -133,7 +164,10 @@ def dedup_rollup(dated: DataFrame) -> DataFrame:
         F.col("message"),
         F.to_json(F.col("labels")).alias("labels_json"),
     )
-    g = dated.groupBy(F.xxhash64(F.col("dedup_key")).alias("dedup_h")).agg(
+    if hash_key is None:
+        hash_key = DEDUP_HASH_KEY
+    key = F.xxhash64(F.col("dedup_key")) if hash_key else F.col("dedup_key")
+    g = dated.groupBy(key.alias("dedup_h")).agg(
         F.min(rep).alias("rep"),
         F.sum("duplicate_count").alias("duplicate_count"),
         F.min("first_ts_ms").alias("first_ts_ms"),

@@ -106,15 +106,19 @@ def _derive_files_per_date(
 
         import pyarrow.parquet as pq
 
-        files = (
-            [src]
-            if os.path.isfile(src)
-            else [
-                os.path.join(src, f)
-                for f in os.listdir(src)
+        if os.path.isfile(src):
+            files = [src]
+        else:  # walk recursively: Hive-partitioned (p_date=...) and nested
+            # layouts must contribute their files, not silently yield [] and
+            # under-parallelize via the MIN_FILES_PER_DATE fallback
+            files = [
+                os.path.join(root, f)
+                for root, _dirs, names in os.walk(src)
+                for f in names
                 if f.endswith(".parquet")
             ]
-        )
+        if not files:
+            raise ValueError(f"no parquet files under {src}")
         n = 0
         lo = hi = None
         for path in files:
@@ -185,7 +189,10 @@ def _write_small_table(out_dir: str, table: str, spark_schema, row_dicts):
     """Overwrite a tiny result table (<= tens of rows, already collected)
     with one driver-written parquet file — replaces a coalesce(1) Spark job
     (same serial-tail rationale as _append). Schema is translated from the
-    Spark schema so an empty result still writes a typed, readable table."""
+    Spark schema so an empty result still writes a typed, readable table.
+    Types outside the primitive map (timestamp/array/decimal/...) fall back
+    to pyarrow's type inference over the collected values instead of
+    crashing the run on a KeyError."""
     import shutil as _sh
     import uuid
 
@@ -198,17 +205,25 @@ def _write_small_table(out_dir: str, table: str, spark_schema, row_dicts):
         "int": pa.int32(),
         "integer": pa.int32(),
         "double": pa.float64(),
+        "float": pa.float32(),
         "string": pa.string(),
         "boolean": pa.bool_(),
+        "date": pa.date32(),
+        "timestamp": pa.timestamp("us"),
+        "timestamp_ntz": pa.timestamp("us"),
+        "binary": pa.binary(),
     }
     fields = [
-        pa.field(f.name, type_map[f.dataType.simpleString()])
+        (f.name, type_map.get(f.dataType.simpleString()))
         for f in spark_schema.fields
     ]
     t = pa.table(
         {
-            f.name: pa.array([d[f.name] for d in row_dicts], type=f.type)
-            for f in fields
+            # type=None -> pyarrow infers from the values (complex Spark
+            # types: arrays, maps, decimals); typed when the map covers it
+            # so empty tables stay readable with the right schema
+            name: pa.array([d[name] for d in row_dicts], type=typ)
+            for name, typ in fields
         }
     )
     import os
@@ -423,12 +438,14 @@ def run_pipeline(
         # cached frames — no parquet read-backs, no extra .count() jobs.
         t_s = time.time()
         deduped_d = agg.dedup_turns(
-            route.kept_turns(stage_df), extra_keys=("p_date",)
+            route.kept_turns(stage_df), extra_keys=("p_date",), audit=True
         ).persist()
-        # materialize the ONE wide shuffle before fanning out: the three
+        # materialize the ONE wide shuffle before fanning out (the three
         # result branches below then read the cached frame concurrently
-        # instead of racing to populate it
-        deduped_d.count()
+        # instead of racing to populate it) AND count hash-key collision
+        # groups in the same pass — the sentinel for the 64-bit dedup key
+        # (see aggregate.DEDUP_HASH_KEY; nonzero lands in _metrics)
+        n_collisions = deduped_d.filter(F.col("key_collision")).count()
         # S7 date-keyed upsert (analysis_results_store.py:75-131 keeps one
         # result row set per analysis_date): results partitioned by
         # analysis_date + dynamic partition overwrite = MERGE keyed by date.
@@ -486,7 +503,7 @@ def run_pipeline(
                 f.result()
         scored.unpersist()
         deduped_d.unpersist()
-        return top_rows, summary_row, time.time() - t_s
+        return top_rows, summary_row, n_collisions, time.time() - t_s
 
     t_stage = time.time()
     with ThreadPoolExecutor(len(sink_builders) + 1) as ex:
@@ -497,12 +514,18 @@ def run_pipeline(
             n = int(flag_counts[sink])
             counts[sink] = n
             metrics_rows.append((run_id, sink, "*", None, n, None, el))
-        top_rows, summary_row, _ = buckets_fut.result()
+        top_rows, summary_row, n_collisions, _ = buckets_fut.result()
     counts["report_buckets"] = int(summary_row["clusters_found"])
     counts["top_issues"] = len(top_rows)
     counts["report_summary"] = 1
     metrics_rows.append(
         (run_id, "aggregate", "*", None, counts["report_buckets"], None, time.time() - t_stage)
+    )
+    # dedup hash-key collision sentinel: groups whose members disagree under
+    # an independent second hash (expected 0; nonzero = rerun with
+    # aggregate.DEDUP_HASH_KEY = False for exact string keys)
+    metrics_rows.append(
+        (run_id, "dedup_hash_collisions", "*", None, int(n_collisions), None, None)
     )
     _append(spark, out_dir, "_metrics", metrics_rows, METRICS_SCHEMA)
 
