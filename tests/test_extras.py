@@ -262,6 +262,111 @@ def test_cosine_df_cap_keeps_heavy_dup_groups(spark, tmp_path):
     assert all(r.cosine == 1.0 for r in rows if (r.doc_a, r.doc_b) in dup_pairs)
 
 
+def test_jaccard_floor_pairs_near_identical_heavy_group(spark, tmp_path):
+    """ADVICE round 3: the old floor ranked df=1 shingles first, so a
+    NEAR-identical doc in a heavy group kept its unique-edit shingles
+    (unpairable) instead of shared ones. With df=1 excluded from the floor,
+    every doc keeps the same least-frequent SHARED shingles and the whole
+    near-identical group pairs up even when every shared shingle is hot."""
+    shared = " ".join(f"word{i:02d}" for i in range(30))
+    n_dup = 120
+    rows = [(i, f"{shared} uniqedit{i}") for i in range(n_dup)]
+    rows += [(1000 + i, f"other prose {i} entirely different tokens here now"
+              f" foo{i} bar{i} baz{i}") for i in range(10)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    df.coalesce(2).write.mode("overwrite").parquet(str(tmp_path / "documents.parquet"))
+    pairs = dd.doc_jaccard_pairs(spark, str(tmp_path), 0.8, max_shingle_df=10)
+    got = {(r.doc_a, r.doc_b) for r in pairs.collect()}
+    dup_pairs = {(a, b) for a in range(n_dup) for b in range(a + 1, n_dup)}
+    assert dup_pairs <= got
+    # the floor spent its slots on shared (df>=2) shingles, not the df=1
+    # unique-edit shingles
+    docs = spark.read.parquet(str(tmp_path / "documents.parquet"))
+    exploded = docs.select(
+        "doc_id", F.explode(dd._shingles(F.col("text"))).alias("shingle")
+    )
+    idx = dd.capped_index(exploded, "shingle", 10, dd.RARE_SHINGLES_PER_DOC)
+    # every heavy doc keeps exactly RARE_SHINGLES_PER_DOC HOT (shared,
+    # df > cap) shingles via the floor — and they are the SAME two shingles
+    # for every doc, which is what makes the group pair. (df=1 unique-edit
+    # shingles are still present via the df<=cap branch; they never join.)
+    dfreq = exploded.groupBy("shingle").agg(F.count(F.lit(1)).alias("df"))
+    hot_kept = (
+        idx.filter(F.col("doc_id") < n_dup)
+        .join(dfreq, "shingle")
+        .filter(F.col("df") > 10)
+    )
+    per_doc = hot_kept.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sort_array(F.collect_list("shingle")).alias("shs"),
+    )
+    rows = per_doc.collect()
+    assert len(rows) == n_dup
+    assert all(r.n == dd.RARE_SHINGLES_PER_DOC for r in rows)
+    assert len({tuple(r.shs) for r in rows}) == 1
+    assert not any("uniqedit" in s for s in rows[0].shs)
+
+
+def _chain_corpus(spark, tmp_path, n_docs=50, window=100):
+    """Sliding-window docs: doc i = 100 distinct tokens i..i+99, so adjacent
+    docs share 99 tokens (cosine exactly 0.99) and 2-apart docs share 98
+    (0.98) — a diameter-(n_docs-1) near-dup chain at threshold 0.99. Tokens
+    are screened so no two hash to the same sparse dim (mod DOC_COSINE_DIM),
+    keeping the arithmetic exact."""
+    dims, toks = set(), []
+    i = 0
+    while len(toks) < n_docs - 1 + window:
+        t = f"w{i:04d}"
+        d = xh.py_char_hash(t) % sim.DOC_COSINE_DIM
+        if d not in dims:
+            dims.add(d)
+            toks.append(t)
+        i += 1
+    rows = [(k, " ".join(toks[k : k + window])) for k in range(n_docs)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    df.coalesce(2).write.mode("overwrite").parquet(str(tmp_path / "documents.parquet"))
+
+
+def test_neardup_components_chain_converges_with_bounded_depth(spark, tmp_path):
+    """VERDICT round 3 #5: a 50-doc chain (worst-case diameter) must
+    converge — pointer jumping makes that O(log diameter) rounds and
+    periodic localCheckpoint keeps plan depth bounded — with no
+    non-convergence warning, matching the exact recursive-CTE oracle."""
+    import warnings
+
+    import duckdb
+
+    _chain_corpus(spark, tmp_path)
+    with warnings.catch_warnings():
+        warnings.simplefilter("error", RuntimeWarning)  # any warning -> fail
+        out = sim.doc_neardup_components(spark, str(tmp_path), 0.99, max_iter=20)
+        comp = {r.doc_id: r.component for r in out.collect()}
+    assert comp == {i: 0 for i in range(50)}  # one chain-wide component
+    con = duckdb.connect()
+    try:
+        con.execute(
+            "CREATE VIEW documents AS SELECT * FROM "
+            f"'{tmp_path}/documents.parquet/*.parquet'"
+        )
+        oracle = {
+            int(r[0]): int(r[1])
+            for r in con.execute(sim.oracle_neardup_components(0.99)).fetchall()
+        }
+    finally:
+        con.close()
+    assert comp == oracle
+
+
+def test_neardup_components_warns_when_iterations_exhausted(spark, tmp_path):
+    """ADVICE round 3: exhausting max_iter must raise a RuntimeWarning
+    instead of silently returning partial (unmerged) labels."""
+    _chain_corpus(spark, tmp_path)
+    with pytest.warns(RuntimeWarning, match="no fixpoint"):
+        out = sim.doc_neardup_components(spark, str(tmp_path), 0.99, max_iter=1)
+    # still returns a usable (upper-approximation) labeling for every doc
+    assert out.count() == 50
+
+
 def test_neardup_components_group_heavy_dups(spark, tmp_path):
     """All identical docs collapse into ONE component labeled by the min
     doc_id; unique docs stay singleton components."""

@@ -37,12 +37,20 @@ JACCARD_THRESHOLD = 0.8
 # GENERATION only (the exact-Jaccard verify still uses the full sets): one
 # stop-phrase shingle shared by 1M docs would otherwise create ~10^12 pairs
 MAX_SHINGLE_DF = 100
-# ...but each document ALWAYS keeps its K least-frequent shingles in the
-# index regardless of df: in a heavy near-duplicate group (> MAX_SHINGLE_DF
-# near-identical docs) EVERY shared shingle exceeds the cap, and a pure df
-# cap would generate zero candidates for exactly the case dedup targets.
-# Identical/near-identical docs rank their shingles identically (order by
-# df, shingle), so they keep the same K and always pair up.
+# ...but each document ALWAYS keeps its K least-frequent SHARED (df >= 2)
+# shingles in the index regardless of df: in a heavy near-duplicate group
+# (> MAX_SHINGLE_DF near-identical docs) EVERY shared shingle exceeds the
+# cap, and a pure df cap would generate zero candidates for exactly the
+# case dedup targets. df=1 shingles are skipped by the floor — they join
+# only with themselves and can never produce a pair, and for NEAR-identical
+# docs they are precisely the unique-edit shingles that would otherwise
+# crowd out the shared ones. Guarantee: byte-IDENTICAL docs rank their
+# shingles identically (order by df, shingle) and always pair. For
+# near-identical docs in heavy groups pairing is likely but NOT guaranteed
+# (the K rarest shared shingles of A may differ from B's when their shared
+# sets differ); raise RARE_SHINGLES_PER_DOC for stronger recall there —
+# see tests/test_extras.py for both the guarantee and the near-identical
+# heavy-group behavior.
 RARE_SHINGLES_PER_DOC = 2
 
 
@@ -160,16 +168,23 @@ def capped_index(
 ) -> DataFrame:
     """Df-capped inverted index for candidate generation with a recall
     floor: keep (doc_id, key) rows whose key's document frequency is
-    <= max_df, PLUS each doc's rare_k least-frequent keys unconditionally
-    (rank window partitions on high-cardinality doc_id — parallel at any
-    scale). Guarantees candidate volume is bounded by
-    sum(min(df, ~rare-group size)^2) instead of sum(df^2) while heavy
-    duplicate groups (where every key is hot) still pair up via their
-    identically-ranked rare keys."""
+    <= max_df, PLUS each doc's rare_k least-frequent SHARED (df >= 2) keys
+    unconditionally (rank window partitions on high-cardinality doc_id —
+    parallel at any scale). Candidate volume stays bounded by
+    sum(min(df, ~rare-group size)^2) instead of sum(df^2).
+
+    Recall floor contract (precisely): df=1 keys are skipped by the floor —
+    they cannot produce a pair. Byte-identical docs share ALL keys and rank
+    them identically, so they keep the same rare_k keys and are GUARANTEED
+    to pair even when every key is hot. Near-identical docs in heavy groups
+    usually pair (their shared-key df ranking is mostly aligned) but are
+    not guaranteed to — their K rarest shared keys can differ."""
     from pyspark.sql import Window
 
     dfreq = exploded.groupBy(key).agg(F.count(F.lit(1)).alias("df"))
-    w = Window.partitionBy("doc_id").orderBy("df", key)
+    # df=1 last in the ranking: the floor spends its slots on keys that can
+    # actually join (df >= 2), not on a near-duplicate's unique-edit keys
+    w = Window.partitionBy("doc_id").orderBy((F.col("df") == 1), "df", key)
     return (
         exploded.join(dfreq, key)
         .withColumn("rk", F.row_number().over(w))
@@ -184,7 +199,8 @@ def sql_capped_index(source: str, key: str, max_df: int, rare_k: int) -> str:
   SELECT {key}, COUNT(*) AS df FROM {source} GROUP BY {key}
 ), ranked AS (
   SELECT s.doc_id, s.{key}, d.df,
-         ROW_NUMBER() OVER (PARTITION BY s.doc_id ORDER BY d.df, s.{key}) AS rk
+         ROW_NUMBER() OVER (PARTITION BY s.doc_id
+           ORDER BY (d.df = 1), d.df, s.{key}) AS rk
   FROM {source} s JOIN dfreq d USING ({key})
 ), capped AS (
   SELECT doc_id, {key} FROM ranked WHERE df <= {max_df} OR rk <= {rare_k}

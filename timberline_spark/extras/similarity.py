@@ -325,8 +325,11 @@ embed_texts = F.pandas_udf(_embed_batch, returnType=T.ArrayType(T.FloatType()))
 
 DOC_COSINE_DIM = 1024  # hashed token dimensions for the sparse cosine join
 # dims hotter than this are dropped from CANDIDATE GENERATION only; each doc
-# keeps its RARE_DIMS_PER_DOC least-frequent dims unconditionally (see
-# extras.dedup.capped_index — same recall guarantee for heavy dup groups)
+# keeps its RARE_DIMS_PER_DOC least-frequent shared (df>=2) dims
+# unconditionally (extras.dedup.capped_index). The floor GUARANTEES pairing
+# for byte-identical docs in heavy groups; near-identical docs usually pair
+# but are not guaranteed to (see capped_index docstring for the exact
+# contract) — raise RARE_DIMS_PER_DOC for stronger heavy-group recall.
 MAX_COSINE_DIM_DF = 100
 RARE_DIMS_PER_DOC = 2
 
@@ -347,11 +350,12 @@ def doc_cosine_neardup(
     equi-join on DF-CAPPED dimensions (a fixed hash space means every dim's
     document frequency grows ~N/DIM with corpus size — an uncapped join is
     O(N^2/DIM), quadratic in N): dims in more than max_dim_df docs are
-    excluded, but every doc keeps its RARE_DIMS_PER_DOC least-frequent dims
-    so heavy near-duplicate groups (all-hot dims) still pair up via their
-    identically-ranked rare dims. The cosine itself is then computed EXACTLY
-    over the full weight vectors of each surviving pair, so the df cap can
-    only affect recall (bounded by the rare-dim guarantee), never scores.
+    excluded, but every doc keeps its RARE_DIMS_PER_DOC least-frequent
+    shared dims so heavy duplicate groups (all-hot dims) still pair up —
+    guaranteed for identical docs, best-effort for near-identical ones
+    (capped_index docstring has the exact contract). The cosine itself is
+    then computed EXACTLY over the full weight vectors of each surviving
+    pair, so the df cap can only affect recall, never scores.
     """
     from . import xhash as xh
     from .dedup import capped_index
@@ -391,6 +395,9 @@ def doc_cosine_neardup(
     )
 
 
+CC_CHECKPOINT_EVERY = 4  # rounds between lineage truncations
+
+
 def doc_neardup_components(
     spark: SparkSession,
     sf_dir: str,
@@ -401,16 +408,27 @@ def doc_neardup_components(
     pair graph, labeled by the component's minimum doc_id — what a real
     dedup pipeline emits (keep one doc per component).
 
-    Iterative min-label propagation: every doc starts labeled with its own
-    id; each round replaces a doc's label with the minimum label in its
-    closed neighborhood; converges in O(graph diameter) rounds (the
-    alternating large/small-star optimization drops diameter to O(log n)
-    for pathological chains — unnecessary here since near-dup components
-    are dense cliques with tiny diameters). Each round is one equi-join +
-    one combinable groupBy; the loop runs on the driver but touches only
-    per-round aggregate counts (sum of labels, monotonically decreasing)
-    to detect convergence — no per-row driver data.
+    Min-label propagation WITH pointer jumping: every doc starts labeled
+    with its own id; each round (a) replaces a doc's label with the minimum
+    label in its closed neighborhood (one equi-join + one combinable
+    groupBy), then (b) shortcuts label(x) <- label(label(x)) (a second
+    equi-join on the label table itself). The shortcut step halves the
+    remaining propagation distance each round, so even a pathological
+    chain converges in O(log diameter) rounds, not O(diameter). Every
+    CC_CHECKPOINT_EVERY rounds the label frame is localCheckpoint-ed so
+    the plan depth stays bounded regardless of round count. The loop runs
+    on the driver but touches only one aggregate scalar per round (sum of
+    labels, monotonically decreasing) to detect convergence — no per-row
+    driver data.
+
+    If max_iter is exhausted before the fixpoint, the labels returned are
+    an UPPER approximation (some components not yet merged) and a
+    RuntimeWarning is raised. The returned DataFrame is localCheckpoint-ed
+    (materialized, lineage-free) and NOT persisted — callers need no
+    unpersist.
     """
+    import warnings
+
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select("doc_id")
     pairs = doc_cosine_neardup(spark, sf_dir, threshold).select("doc_a", "doc_b")
     # symmetric edges + self-loops (keeps isolated docs and own labels)
@@ -422,21 +440,45 @@ def doc_neardup_components(
     )
     labels = docs.select("doc_id", F.col("doc_id").alias("component")).persist()
     prev_sum = labels.agg(F.sum("component")).collect()[0][0]
-    for _ in range(max_iter):
-        new_labels = (
+    converged = False
+    for i in range(max_iter):
+        prop = (
             edges.join(labels, edges["dst"] == labels["doc_id"])
             .groupBy(F.col("src").alias("doc_id"))
             .agg(F.min("component").alias("component"))
-            .persist()
         )
+        # pointer jump: a label is itself a doc_id, and prop has a row for
+        # every doc (self-loops guarantee it), so label(label(x)) is an
+        # inner equi-join; the looked-up label is <= by monotonicity
+        jump = prop.select(
+            F.col("doc_id").alias("c_id"), F.col("component").alias("c_comp")
+        )
+        new_labels = prop.join(jump, prop["component"] == jump["c_id"]).select(
+            "doc_id", F.col("c_comp").alias("component")
+        )
+        if (i + 1) % CC_CHECKPOINT_EVERY == 0:
+            # truncate lineage: without this, round k carries a 2k-join plan
+            new_labels = new_labels.localCheckpoint(eager=True)
+        else:
+            new_labels = new_labels.persist()
         new_sum = new_labels.agg(F.sum("component")).collect()[0][0]
         labels.unpersist()
         labels = new_labels
         if new_sum == prev_sum:  # min-label is monotone; fixpoint reached
+            converged = True
             break
         prev_sum = new_sum
+    if not converged:
+        warnings.warn(
+            f"doc_neardup_components: no fixpoint after {max_iter} rounds; "
+            "labels are an upper approximation (raise max_iter)",
+            RuntimeWarning,
+            stacklevel=2,
+        )
+    out = labels.select("doc_id", "component").localCheckpoint(eager=True)
+    labels.unpersist()
     edges.unpersist()
-    return labels.select("doc_id", "component")
+    return out
 
 
 def oracle_neardup_components(threshold: float = 0.99) -> str:
