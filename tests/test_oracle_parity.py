@@ -32,3 +32,41 @@ def test_pandas_udf_grok_equals_native(spark):
     a = normalize(queries.q_parse(spark, SF_TINY).toPandas())
     b = normalize(queries.q_parse_pandas_udf(spark, SF_TINY).toPandas())
     assert a.equals(b)
+
+
+def test_fuzzy_buckets_merge_near_identical_messages(spark):
+    """VERDICT round 3 #4 acceptance: two messages ONE character apart (so
+    their digit-collapsed fingerprints differ and the exact path keeps two
+    clusters) must land in ONE fuzzy cluster; an unrelated message stays
+    its own cluster."""
+    from timberline_spark import aggregate as agg
+
+    msg_a = "connection timeout contacting upstream gateway exhausted retries while handling request alpha"
+    msg_b = msg_a[:-1] + "b"  # ...alphb: 1 char apart, 11/12 shared tokens
+    msg_c = "scheduled backup completed successfully without any warnings emitted today"
+    rows = [
+        ("c-1", 0, "ERROR", "svc-1", msg_a, 5, 1000, 2000, True, False),
+        ("c-2", 1, "ERROR", "svc-2", msg_b, 3, 1500, 2500, True, False),
+        ("c-3", 2, "INFO", "svc-1", msg_c, 1, 1200, 1200, False, False),
+    ]
+    deduped = spark.createDataFrame(
+        rows,
+        "conv_id string, turn_idx int, level string, service string,"
+        " message string, duplicate_count long, first_ts_ms long,"
+        " last_ts_ms long, is_error boolean, is_warning boolean",
+    )
+    exact = agg.report_buckets(deduped)
+    fuzzy = agg.report_buckets_fuzzy(deduped)
+    assert exact.count() == 3  # exact path: a and b stay separate
+    out = {r.fingerprint: r for r in fuzzy.collect()}
+    assert len(out) == 2  # fuzzy path: a+b merged, c alone
+    merged = next(r for r in out.values() if r.n_templates == 2)
+    assert merged.n_unique == 2
+    assert merged.total_log_count == 8
+    assert merged.error_count == 8
+    assert merged.n_sources == 2
+    assert merged.first_ts_ms == 1000 and merged.last_ts_ms == 2500
+    # representative: highest priority, most recent -> msg_b's row
+    assert merged.representative_message == msg_b
+    solo = next(r for r in out.values() if r.n_templates == 1)
+    assert solo.representative_message == msg_c and solo.total_log_count == 1

@@ -265,6 +265,86 @@ def report_buckets(deduped: DataFrame, extra_keys: tuple[str, ...] = ()) -> Data
     )
 
 
+FUZZY_COSINE_THRESHOLD = 0.9  # template-similarity merge bar (DBSCAN eps analog)
+
+
+def report_buckets_fuzzy(
+    deduped: DataFrame,
+    threshold: float = FUZZY_COSINE_THRESHOLD,
+    max_iter: int = 20,
+) -> DataFrame:
+    """Near-miss cluster merging for the report path — the batch analog of
+    the reference's DBSCAN eps=0.2 over message embeddings
+    (ai-analyzer/analyzer/storage/milvus_client.py:166-264), which merges
+    messages that are similar-but-not-identical. The exact path
+    (:func:`report_buckets`) groups on the digit-collapsed fingerprint
+    only; here, fingerprints whose TEMPLATE TEXT is token-cosine-similar
+    (>= threshold) are merged via connected components, so two messages
+    one word apart land in one cluster.
+
+    Scale shape: the similarity graph is built over DISTINCT fingerprints
+    (the cluster count, orders of magnitude below the row count), with the
+    same df-capped candidate generation as doc_cosine_neardup — never
+    all-pairs. The resulting (fingerprint -> component) map is tiny and
+    broadcast back onto the deduped frame; the bucket aggregation is then
+    ONE hash-agg shuffle keyed by component, same as the exact path.
+
+    Output schema = report_buckets plus n_templates (how many exact
+    templates merged into the cluster); fingerprint carries the component
+    label (the lexicographically-min member fingerprint).
+    """
+    from .extras.similarity import connected_components, cosine_pairs
+
+    fp = cluster_fingerprint(F.col("message"), F.col("level"))
+    df = deduped.withColumn("fingerprint", fp).withColumn(
+        "level_priority", _level_priority(F.col("level"))
+    )
+    fps = df.select(F.col("fingerprint").alias("doc_id")).distinct()
+    pairs = cosine_pairs(
+        fps.withColumn("text", F.col("doc_id")), threshold
+    ).select("doc_a", "doc_b")
+    comp = connected_components(fps, pairs, max_iter).select(
+        F.col("doc_id").alias("fingerprint"), "component"
+    )
+    merged = df.join(F.broadcast(comp), "fingerprint")
+    rep = F.struct(
+        (-F.col("level_priority")).alias("neg_priority"),
+        (-F.col("last_ts_ms")).alias("neg_last_ts"),
+        F.col("conv_id"),
+        F.col("turn_idx"),
+        F.col("level"),
+        F.col("message"),
+    )
+    g = merged.groupBy("component").agg(
+        F.countDistinct("fingerprint").alias("n_templates"),
+        F.count(F.lit(1)).alias("n_unique"),
+        F.sum("duplicate_count").alias("total_log_count"),
+        F.sum(
+            F.when(F.col("is_error"), F.col("duplicate_count")).otherwise(F.lit(0))
+        ).alias("error_count"),
+        F.sum(
+            F.when(F.col("is_warning"), F.col("duplicate_count")).otherwise(F.lit(0))
+        ).alias("warning_count"),
+        F.countDistinct("service").alias("n_sources"),
+        F.min("first_ts_ms").alias("first_ts_ms"),
+        F.max("last_ts_ms").alias("last_ts_ms"),
+        F.min(rep).alias("rep"),
+    )
+    return g.select(
+        F.col("component").alias("fingerprint"),
+        "n_templates",
+        "n_unique",
+        "total_log_count",
+        "error_count",
+        "warning_count",
+        "n_sources",
+        "first_ts_ms",
+        "last_ts_ms",
+        F.col("rep.level").alias("rep_level"),
+        _truncate_message(F.col("rep.message")).alias("representative_message"),
+    )
+
+
 def _truncate_message(c, limit: int = 200):
     """Message truncation for reports (generator.py:93-99)."""
     return F.when(

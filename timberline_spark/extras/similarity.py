@@ -334,19 +334,18 @@ MAX_COSINE_DIM_DF = 100
 RARE_DIMS_PER_DOC = 2
 
 
-def doc_cosine_neardup(
-    spark: SparkSession,
-    sf_dir: str,
-    threshold: float = 0.95,
+def cosine_pairs(
+    docs: DataFrame,
+    threshold: float,
     max_dim_df: int = MAX_COSINE_DIM_DF,
 ) -> DataFrame:
-    """Embedding-cosine near-dup over documents (reference milvus.go:354-409
-    batch equivalence): sparse inverted-index candidate generation + EXACT
-    cosine rescore over the full vectors.
+    """Sparse token-cosine near-dup pairs over ANY (doc_id, text) frame —
+    (doc_a, doc_b, cosine), doc_a < doc_b. doc_id may be any orderable type
+    (long doc ids, fingerprint strings, ...).
 
-    Each document becomes a sparse token-count vector over DOC_COSINE_DIM
-    hashed dimensions (the same bag-of-hashed-tokens construction as the
-    dense pandas-UDF surrogate, but kept sparse). Candidates come from an
+    Each row becomes a sparse token-count vector over DOC_COSINE_DIM hashed
+    dimensions (the same bag-of-hashed-tokens construction as the dense
+    pandas-UDF surrogate, but kept sparse). Candidates come from an
     equi-join on DF-CAPPED dimensions (a fixed hash space means every dim's
     document frequency grows ~N/DIM with corpus size — an uncapped join is
     O(N^2/DIM), quadratic in N): dims in more than max_dim_df docs are
@@ -360,11 +359,11 @@ def doc_cosine_neardup(
     from . import xhash as xh
     from .dedup import capped_index
 
-    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
+    exploded = docs.select(
         "doc_id",
         F.explode(xh.token_hashes(F.col("text"))).alias("th"),
     )
-    tf = docs.groupBy(
+    tf = exploded.groupBy(
         "doc_id", (F.col("th") % DOC_COSINE_DIM).alias("dim")
     ).agg(F.count(F.lit(1)).alias("cnt"))
     norms = tf.groupBy("doc_id").agg(
@@ -395,31 +394,47 @@ def doc_cosine_neardup(
     )
 
 
-CC_CHECKPOINT_EVERY = 4  # rounds between lineage truncations
-
-
-def doc_neardup_components(
+def doc_cosine_neardup(
     spark: SparkSession,
     sf_dir: str,
-    threshold: float = 0.99,
-    max_iter: int = 20,
+    threshold: float = 0.95,
+    max_dim_df: int = MAX_COSINE_DIM_DF,
 ) -> DataFrame:
-    """Near-duplicate GROUPS: connected components over the cosine near-dup
-    pair graph, labeled by the component's minimum doc_id — what a real
-    dedup pipeline emits (keep one doc per component).
+    """Embedding-cosine near-dup over the documents table (reference
+    milvus.go:354-409 batch equivalence) — see :func:`cosine_pairs`."""
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select("doc_id", "text")
+    return cosine_pairs(docs, threshold, max_dim_df)
 
-    Min-label propagation WITH pointer jumping: every doc starts labeled
-    with its own id; each round (a) replaces a doc's label with the minimum
-    label in its closed neighborhood (one equi-join + one combinable
-    groupBy), then (b) shortcuts label(x) <- label(label(x)) (a second
-    equi-join on the label table itself). The shortcut step halves the
-    remaining propagation distance each round, so even a pathological
+
+# Truncate lineage EVERY round: the pointer-jump step self-joins the label
+# frame, so the logical plan doubles per round — caching keeps the DATA hot
+# but Catalyst still re-analyzes the full tree each round, which measured as
+# exponential per-round planning time (4.9s -> 11.4s -> 27.2s on a 54-node
+# graph at sf0.01). An eager localCheckpoint costs ~0.2s and keeps every
+# round O(1) plan size.
+CC_CHECKPOINT_EVERY = 1
+
+
+def connected_components(
+    ids: DataFrame, pairs: DataFrame, max_iter: int = 20
+) -> DataFrame:
+    """Connected components over an undirected pair graph: ``ids(doc_id)``
+    (every node, isolated ones included) + ``pairs(doc_a, doc_b)`` ->
+    (doc_id, component) labeled by the component's minimum id. Works for
+    any orderable id type (longs, fingerprint strings).
+
+    Min-label propagation WITH pointer jumping: every node starts labeled
+    with its own id; each round (a) replaces a node's label with the
+    minimum label in its closed neighborhood (one equi-join + one
+    combinable groupBy), then (b) shortcuts label(x) <- label(label(x)) (a
+    second equi-join on the label table itself). The shortcut step halves
+    the remaining propagation distance each round, so even a pathological
     chain converges in O(log diameter) rounds, not O(diameter). Every
     CC_CHECKPOINT_EVERY rounds the label frame is localCheckpoint-ed so
     the plan depth stays bounded regardless of round count. The loop runs
-    on the driver but touches only one aggregate scalar per round (sum of
-    labels, monotonically decreasing) to detect convergence — no per-row
-    driver data.
+    on the driver but touches only one aggregate scalar per round (a count
+    of label changes, monotone information) to detect convergence — no
+    per-row driver data.
 
     If max_iter is exhausted before the fixpoint, the labels returned are
     an UPPER approximation (some components not yet merged) and a
@@ -429,17 +444,30 @@ def doc_neardup_components(
     """
     import warnings
 
-    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select("doc_id")
-    pairs = doc_cosine_neardup(spark, sf_dir, threshold).select("doc_a", "doc_b")
     # symmetric edges + self-loops (keeps isolated docs and own labels)
     edges = (
         pairs.select(F.col("doc_a").alias("src"), F.col("doc_b").alias("dst"))
         .union(pairs.select(F.col("doc_b").alias("src"), F.col("doc_a").alias("dst")))
-        .union(docs.select(F.col("doc_id").alias("src"), F.col("doc_id").alias("dst")))
+        .union(ids.select(F.col("doc_id").alias("src"), F.col("doc_id").alias("dst")))
         .persist()
     )
-    labels = docs.select("doc_id", F.col("doc_id").alias("component")).persist()
-    prev_sum = labels.agg(F.sum("component")).collect()[0][0]
+    labels = ids.select("doc_id", F.col("doc_id").alias("component")).persist()
+
+    # convergence scalar valid for ANY id type: a pair of bounded checksums
+    # of the label assignment (sum of the 64-bit label hash mod two primes —
+    # each summand < 2^20, so the sums stay far under 2^63 for up to ~2^42
+    # rows; ANSI-safe). Labels change monotonically (min-label), so the
+    # assignment changes iff some label changed; a simultaneous cancellation
+    # under BOTH primes (~1e-12 per round) is the only false-converge risk.
+    def _state(frame):
+        h = F.xxhash64(F.col("component").cast("string"))
+        row = frame.agg(
+            F.sum(F.pmod(h, F.lit(1_000_003))),
+            F.sum(F.pmod(h, F.lit(999_983))),
+        ).collect()[0]
+        return (row[0], row[1])
+
+    prev_sum = _state(labels)
     converged = False
     for i in range(max_iter):
         prop = (
@@ -461,7 +489,7 @@ def doc_neardup_components(
             new_labels = new_labels.localCheckpoint(eager=True)
         else:
             new_labels = new_labels.persist()
-        new_sum = new_labels.agg(F.sum("component")).collect()[0][0]
+        new_sum = _state(new_labels)
         labels.unpersist()
         labels = new_labels
         if new_sum == prev_sum:  # min-label is monotone; fixpoint reached
@@ -470,7 +498,7 @@ def doc_neardup_components(
         prev_sum = new_sum
     if not converged:
         warnings.warn(
-            f"doc_neardup_components: no fixpoint after {max_iter} rounds; "
+            f"connected_components: no fixpoint after {max_iter} rounds; "
             "labels are an upper approximation (raise max_iter)",
             RuntimeWarning,
             stacklevel=2,
@@ -479,6 +507,21 @@ def doc_neardup_components(
     labels.unpersist()
     edges.unpersist()
     return out
+
+
+def doc_neardup_components(
+    spark: SparkSession,
+    sf_dir: str,
+    threshold: float = 0.99,
+    max_iter: int = 20,
+) -> DataFrame:
+    """Near-duplicate GROUPS over the documents table: connected components
+    of the cosine near-dup pair graph, labeled by the component's minimum
+    doc_id — what a real dedup pipeline emits (keep one doc per component).
+    See :func:`connected_components` for the algorithm and its contract."""
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select("doc_id")
+    pairs = doc_cosine_neardup(spark, sf_dir, threshold).select("doc_a", "doc_b")
+    return connected_components(docs, pairs, max_iter)
 
 
 def oracle_neardup_components(threshold: float = 0.99) -> str:
@@ -499,17 +542,18 @@ WITH RECURSIVE pairs AS ({pairs}
 SELECT doc_id, MIN(lab) AS component FROM reach GROUP BY doc_id"""
 
 
-def oracle_cosine_neardup(
-    threshold: float = 0.95, max_dim_df: int = MAX_COSINE_DIM_DF
+def sql_cosine_pairs_ctes(
+    source: str, threshold: float, max_dim_df: int = MAX_COSINE_DIM_DF
 ) -> str:
-    """DuckDB oracle: identical capped candidate gen + exact sparse cosine."""
+    """DuckDB CTE chain (``th AS (...), ..., cosp AS (...)``) mirroring
+    :func:`cosine_pairs` over ``source(doc_id, text)`` — embed inside a
+    WITH clause and select from ``cosp(doc_a, doc_b, cosine)``."""
     from . import xhash as xh
     from .dedup import sql_capped_index
 
-    return f"""
-WITH th AS (
+    return f"""th AS (
   SELECT doc_id, unnest({xh.sql_token_hashes('text')}) % {DOC_COSINE_DIM} AS dim
-  FROM documents
+  FROM {source}
 ), tf AS (
   SELECT doc_id, dim, COUNT(*) AS cnt FROM th GROUP BY doc_id, dim
 ), nrm AS (
@@ -522,10 +566,21 @@ WITH th AS (
 ), {sql_capped_index("wd", "dim", max_dim_df, RARE_DIMS_PER_DOC)}, cand AS (
   SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
   FROM capped a JOIN capped b ON a.dim = b.dim AND a.doc_id < b.doc_id
-)
-SELECT c.doc_a, c.doc_b, ROUND(SUM(a.w * b.w), 4) AS cosine
-FROM cand c
-JOIN w a ON a.doc_id = c.doc_a
-JOIN w b ON b.doc_id = c.doc_b AND b.dim = a.dim
-GROUP BY c.doc_a, c.doc_b
-HAVING ROUND(SUM(a.w * b.w), 4) >= {threshold}"""
+), cosp AS (
+  SELECT c.doc_a, c.doc_b, ROUND(SUM(a.w * b.w), 4) AS cosine
+  FROM cand c
+  JOIN w a ON a.doc_id = c.doc_a
+  JOIN w b ON b.doc_id = c.doc_b AND b.dim = a.dim
+  GROUP BY c.doc_a, c.doc_b
+  HAVING ROUND(SUM(a.w * b.w), 4) >= {threshold}
+)"""
+
+
+def oracle_cosine_neardup(
+    threshold: float = 0.95, max_dim_df: int = MAX_COSINE_DIM_DF
+) -> str:
+    """DuckDB oracle: identical capped candidate gen + exact sparse cosine."""
+    return (
+        f"\nWITH {sql_cosine_pairs_ctes('documents', threshold, max_dim_df)}"
+        "\nSELECT doc_a, doc_b, cosine FROM cosp"
+    )

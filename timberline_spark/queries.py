@@ -118,6 +118,13 @@ def q_report_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
     return agg.report_buckets(d)
 
 
+def q_report_buckets_fuzzy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-miss clustering in the report path (DBSCAN eps>0 analog,
+    milvus_client.py:205-215): similar-but-not-identical templates merge."""
+    d = agg.dedup_turns(route.kept_turns(_classified(spark, sf_dir)))
+    return agg.report_buckets_fuzzy(d)
+
+
 def q_top_issues(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = agg.dedup_turns(route.kept_turns(_classified(spark, sf_dir)))
     return agg.top_issues(agg.score_clusters(agg.report_buckets(d)))
@@ -344,6 +351,7 @@ PIPELINE_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "kept_rows": q_kept_rows,
     "dedup": q_dedup,
     "report_buckets": q_report_buckets,
+    "report_buckets_fuzzy": q_report_buckets_fuzzy,
     "top_issues": q_top_issues,
     "summary": q_summary,
     "stream_window_counts": q_stream_window_counts,

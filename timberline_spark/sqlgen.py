@@ -312,6 +312,63 @@ def q_report_buckets(d: Dialect = DUCKDB) -> str:
     )
 
 
+def q_report_buckets_fuzzy(d: Dialect = DUCKDB, threshold: float = 0.9) -> str:
+    """Near-miss cluster merging oracle (DuckDB only: recursive CTE + list
+    functions): distinct fingerprints whose template text is token-cosine
+    similar merge via exact transitive closure, then the bucket aggregation
+    groups by component. Mirrors aggregate.report_buckets_fuzzy."""
+    from .extras.similarity import sql_cosine_pairs_ctes
+
+    g = ", 'g'" if d.name == "duckdb" else ""
+    fp = f"level || '|' || regexp_replace(LOWER(message), '[0-9]+', '#'{g})"
+    base = pipeline_ctes(d).replace("\nWITH ", "\nWITH RECURSIVE ", 1)
+    return f"""{base}, fps AS {d.mat}(
+  SELECT fingerprint AS doc_id, fingerprint AS text FROM (
+    SELECT DISTINCT {fp} AS fingerprint FROM dedup) u
+), {sql_cosine_pairs_ctes("fps", threshold)}, ccedges AS (
+  SELECT doc_a AS src, doc_b AS dst FROM cosp
+  UNION ALL
+  SELECT doc_b AS src, doc_a AS dst FROM cosp
+), reach(doc_id, lab) AS (
+  SELECT doc_id, doc_id FROM fps
+  UNION
+  SELECT e.src, r.lab FROM ccedges e JOIN reach r ON e.dst = r.doc_id
+), comp AS (
+  SELECT doc_id AS fingerprint, MIN(lab) AS component FROM reach GROUP BY doc_id
+), fz AS (
+  SELECT dd.*, comp.component, {_level_priority_sql("dd.level")} AS level_priority
+  FROM (SELECT d0.*, {fp} AS fingerprint FROM dedup d0) dd
+  JOIN comp USING (fingerprint)
+), fzagg AS (
+  SELECT component,
+    CAST(COUNT(DISTINCT fingerprint) AS BIGINT) AS n_templates,
+    CAST(COUNT(*) AS BIGINT) AS n_unique,
+    CAST(SUM(duplicate_count) AS BIGINT) AS total_log_count,
+    CAST(SUM(CASE WHEN is_error THEN duplicate_count ELSE 0 END) AS BIGINT) AS error_count,
+    CAST(SUM(CASE WHEN is_warning THEN duplicate_count ELSE 0 END) AS BIGINT) AS warning_count,
+    CAST(COUNT(DISTINCT service) AS BIGINT) AS n_sources,
+    MIN(first_ts_ms) AS first_ts_ms,
+    MAX(last_ts_ms) AS last_ts_ms
+  FROM fz GROUP BY component
+), fzrep AS (
+  SELECT component, level AS rep_level,
+    CASE WHEN LENGTH(message) > 200
+         THEN SUBSTRING(message, 1, 197) || '...' ELSE message
+    END AS representative_message
+  FROM (
+    -- rn3: fz inherits dedup's rn (constant 1); an alias named rn would
+    -- resolve ambiguously and defeat the filter
+    SELECT *, ROW_NUMBER() OVER (PARTITION BY component
+      ORDER BY level_priority DESC, last_ts_ms DESC, conv_id, turn_idx) AS rn3
+    FROM fz
+  ) r WHERE rn3 = 1
+)
+SELECT a.component AS fingerprint, n_templates, n_unique, total_log_count,
+       error_count, warning_count, n_sources, first_ts_ms, last_ts_ms,
+       rep_level, representative_message
+FROM fzagg a JOIN fzrep USING (component)"""
+
+
 def q_top_issues(d: Dialect = DUCKDB) -> str:
     return _q(
         d,
