@@ -217,6 +217,52 @@ def test_derive_files_handles_partitioned_input(spark):
         shutil.rmtree(base, ignore_errors=True)
 
 
+def test_iceberg_surface(spark):
+    """S5 executed-DDL gate. Offline sandbox: the runtime jar is absent, so
+    (a) the probe reports it, (b) bootstrap fails LOUD with the pinned
+    constraint, and (c) the DDL is valid Spark SQL whose ONLY missing piece
+    is the iceberg provider (parse succeeds; resolution fails on the data
+    source, never on syntax). With the jar on the classpath the same test
+    executes the DDL + a round-trip instead."""
+    import pytest as _pt
+
+    from timberline_spark.pipeline import (
+        bootstrap_iceberg,
+        iceberg_available,
+        iceberg_ddl,
+    )
+
+    if iceberg_available(spark):
+        spark.conf.set(
+            "spark.sql.catalog.it_local", "org.apache.iceberg.spark.SparkCatalog"
+        )
+        spark.conf.set("spark.sql.catalog.it_local.type", "hadoop")
+        spark.conf.set(
+            "spark.sql.catalog.it_local.warehouse", tempfile.mkdtemp("it_wh_")
+        )
+        bootstrap_iceberg(spark, "it_local.db.transcripts")
+        from timberline_spark.transcripts import load_transcripts
+
+        load_transcripts(spark, SF_TINY).writeTo("it_local.db.transcripts").append()
+        assert spark.table("it_local.db.transcripts").count() > 0
+        return
+    with _pt.raises(RuntimeError, match="iceberg-spark-runtime"):
+        bootstrap_iceberg(spark)
+    # DDL string is real Spark SQL: the parser accepts it and analysis digs
+    # all the way down to the missing 'iceberg' data source
+    try:
+        spark.sql(iceberg_ddl("spark_catalog.default.t_iceberg_probe"))
+        raise AssertionError("DDL unexpectedly succeeded without the jar")
+    except Exception as e:  # noqa: BLE001
+        msg = str(e)
+        assert "PARSE_SYNTAX_ERROR" not in msg
+        assert (
+            "DATA_SOURCE_NOT_FOUND" in msg
+            or "Failed to find" in msg
+            or "iceberg" in msg.lower()
+        )
+
+
 def test_write_small_table_complex_types(spark, tmp_path):
     """_write_small_table must not crash on non-primitive columns
     (timestamps, arrays) — pyarrow inference covers what the type map

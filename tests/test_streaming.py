@@ -108,6 +108,82 @@ def test_append_mode_watermark_drops_late_rows(spark):
             shutil.rmtree(d, ignore_errors=True)
 
 
+def test_processing_time_trigger_drip_feed(spark):
+    """VERDICT round 3 #6: the production trigger. A processing-time query
+    stays up while files DRIP IN over wall-clock time; >=3 real micro-batches
+    consume input, the finalized window W1 appears in the append sink WHILE
+    the query is still running (before the last file even exists), and the
+    late row in the final file is dropped exactly as in the AvailableNow
+    run."""
+    import os
+    import time as _t
+
+    from timberline_spark.streaming import start_processing_time
+
+    src = tempfile.mkdtemp(prefix="tl_pt_src_")
+    ckpt = tempfile.mkdtemp(prefix="tl_pt_ckpt_")
+    out = tempfile.mkdtemp(prefix="tl_pt_out_")
+
+    def _write(specs, name):
+        rows = [
+            (f"conv-{i:09d}", i, "user",
+             f"2024-01-05 {hh:02d}:{mm:02d}:00 ERROR [svc-1] boom {i}", "bash",
+             f"2024-01-05 {hh:02d}:{mm:02d}:00")
+            for i, (hh, mm) in enumerate(specs)
+        ]
+        df = spark.createDataFrame(
+            rows,
+            "conv_id string, turn_idx int, role string, text string,"
+            " tool string, ts_s string",
+        ).selectExpr("conv_id", "turn_idx", "role", "text", "tool",
+                     "cast(ts_s as timestamp) as ts")
+        tmp = f"{src}/_stage_{name}"
+        df.coalesce(1).write.mode("overwrite").parquet(tmp)
+        part = next(f for f in os.listdir(tmp) if f.endswith(".parquet"))
+        os.rename(f"{tmp}/{part}", f"{src}/{name}.parquet")
+        shutil.rmtree(tmp)
+
+    def _sink_rows():
+        try:
+            return spark.read.parquet(out).collect()
+        except Exception:
+            return []
+
+    def _wait(pred, timeout=60):
+        t0 = _t.time()
+        while _t.time() - t0 < timeout:
+            if pred():
+                return True
+            _t.sleep(0.5)
+        return False
+
+    q = None
+    try:
+        _write([(10, 0), (10, 30), (15, 0)], "f1")
+        q = start_processing_time(spark, src, ckpt, out, interval="500 milliseconds")
+        # batch 1 consumes f1 (watermark after it: 15:00 - 2h = 13:00 > W1 end)
+        assert _wait(lambda: sum(p["numInputRows"] for p in q.recentProgress) >= 3)
+        _write([(15, 30)], "f2")
+        # W1 finalizes while the query is LIVE and before f3 exists
+        assert _wait(lambda: len(_sink_rows()) >= 1)
+        live = {(str(r.window_start), r.level): r.n for r in _sink_rows()}
+        assert live == {("2024-01-05 10:00:00", "ERROR"): 2}
+        _write([(10, 45), (16, 30)], "f3")  # 10:45 is LATE (behind watermark)
+        assert _wait(lambda: sum(p["numInputRows"] for p in q.recentProgress) >= 6)
+        batches_with_input = [p for p in q.recentProgress if p["numInputRows"] > 0]
+        assert len(batches_with_input) >= 3  # three real incremental micro-batches
+        q.stop()
+        q.awaitTermination(30)
+        final = {(str(r.window_start), r.level): r.n for r in _sink_rows()}
+        # the late 10:45 row was dropped; open 15h/16h windows not finalized
+        assert final == {("2024-01-05 10:00:00", "ERROR"): 2}
+    finally:
+        if q is not None and q.isActive:
+            q.stop()
+        for d in (src, ckpt, out):
+            shutil.rmtree(d, ignore_errors=True)
+
+
 def test_stateful_streaming_dedup_equals_batch(spark):
     """§2.9d: applyInPandasWithState first-3-examples dedup == the batch
     dedup_examples operator when arrival order equals the batch sort order

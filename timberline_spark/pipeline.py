@@ -568,6 +568,44 @@ def iceberg_ddl(table: str = "transcripts") -> str:
     )
 
 
+def iceberg_available(spark: SparkSession) -> bool:
+    """True when the iceberg-spark-runtime jar is on the JVM classpath.
+    This sandbox has no network and no vendored jar (pinned in BENCH.md),
+    so here it returns False; on a real cluster with
+    ``--packages org.apache.iceberg:iceberg-spark-runtime-...`` it gates
+    :func:`bootstrap_iceberg`."""
+    try:
+        spark._jvm.java.lang.Class.forName(
+            "org.apache.iceberg.spark.SparkCatalog"
+        )
+        return True
+    except Exception:
+        return False
+
+
+def bootstrap_iceberg(
+    spark: SparkSession, table: str = "local.db.transcripts"
+) -> None:
+    """EXECUTE the S5 store bootstrap against a configured Iceberg catalog:
+    create the partitioned table if absent. Requires the runtime jar plus a
+    catalog conf, e.g.::
+
+        spark.sql.catalog.local = org.apache.iceberg.spark.SparkCatalog
+        spark.sql.catalog.local.type = hadoop
+        spark.sql.catalog.local.warehouse = <path>
+
+    Raises RuntimeError with the pinned sandbox constraint when the jar is
+    absent, so callers fail loud instead of silently skipping the store."""
+    if not iceberg_available(spark):
+        raise RuntimeError(
+            "iceberg-spark-runtime jar not on the classpath (this sandbox is "
+            "offline and ships no Iceberg jar — see BENCH.md 'Iceberg "
+            "constraint'); run with --packages org.apache.iceberg:"
+            "iceberg-spark-runtime to enable the executed DDL path"
+        )
+    spark.sql(iceberg_ddl(table))
+
+
 def main(argv=None):
     from .session import get_spark
 

@@ -125,6 +125,39 @@ def run_append_windows(
     return spark.read.parquet(out_dir)
 
 
+def start_processing_time(
+    spark: SparkSession,
+    src_dir: str,
+    checkpoint_dir: str,
+    out_dir: str,
+    interval: str = "500 milliseconds",
+    window: str = "1 hour",
+    watermark: str = "2 hours",
+    max_files_per_trigger: int = 1,
+):
+    """START the windowed aggregation with a PROCESSING-TIME trigger — the
+    production mode matching the reference's continuous 5s-flush collector
+    (fluent-bit-configmap.yaml:12): the query stays up, fires a micro-batch
+    every ``interval`` as new files land, finalizes windows incrementally
+    as the watermark passes them (append mode), and evicts their state.
+    Returns the live StreamingQuery; the caller drip-feeds the source,
+    watches ``recentProgress``, and ``stop()``s it. AvailableNow
+    (run_append_windows) is the same plan run finitely; this entry point
+    is the long-running deployment shape."""
+    return (
+        stream_level_counts(
+            spark, src_dir, checkpoint_dir, window, watermark,
+            max_files_per_trigger=max_files_per_trigger,
+        )
+        .writeStream.format("parquet")
+        .option("path", out_dir)
+        .option("checkpointLocation", checkpoint_dir)
+        .outputMode("append")
+        .trigger(processingTime=interval)
+        .start()
+    )
+
+
 # ---- stateful streaming dedup (SURVEY §2.9d) ---------------------------------
 # The reference's similarity corpus grows as the stream progresses: the first
 # MIN_EXAMPLES_BEFORE_EXCLUSION=3 similar logs are stored as examples, later
