@@ -295,6 +295,11 @@ def report_buckets_fuzzy(
     """
     from .extras.similarity import connected_components, cosine_pairs
 
+    # the dedup frame feeds BOTH the template graph and the final
+    # aggregation; persist it so the upstream parse+dedup chain runs once,
+    # and checkpoint the (tiny) output so the cache can be dropped before
+    # returning — the function leaks no storage
+    deduped = deduped.persist()
     fp = cluster_fingerprint(F.col("message"), F.col("level"))
     df = deduped.withColumn("fingerprint", fp).withColumn(
         "level_priority", _level_priority(F.col("level"))
@@ -330,7 +335,7 @@ def report_buckets_fuzzy(
         F.max("last_ts_ms").alias("last_ts_ms"),
         F.min(rep).alias("rep"),
     )
-    return g.select(
+    out = g.select(
         F.col("component").alias("fingerprint"),
         "n_templates",
         "n_unique",
@@ -342,7 +347,9 @@ def report_buckets_fuzzy(
         "last_ts_ms",
         F.col("rep.level").alias("rep_level"),
         _truncate_message(F.col("rep.message")).alias("representative_message"),
-    )
+    ).localCheckpoint(eager=True)
+    deduped.unpersist()
+    return out
 
 
 def _truncate_message(c, limit: int = 200):
