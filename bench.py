@@ -62,8 +62,12 @@ def run_bench(sf_dir: str, cpus: int, replicate: int = 1) -> dict:
     spark = get_spark("timberline_bench", cores=cpus, shuffle_partitions=cpus)
     n_turns = load_transcripts(spark, sf_dir, replicate=replicate).count()
 
-    # JIT/codegen warmup so the first timed query isn't 2-8x inflated
+    # JIT/codegen warmup so the first timed query isn't 2-8x inflated:
+    # compile the FULL parse+enrich+classify chain, not just the parse
+    # subchain (route_errors previously paid ~5s of whole-stage-codegen
+    # compilation that the later route queries didn't)
     _force(Q.PIPELINE_QUERIES["parse"](spark, sf_dir).limit(1000))
+    _force(Q.PIPELINE_QUERIES["route_errors"](spark, sf_dir).limit(1000))
 
     timings: dict[str, float] = {}
     bench_queries = [
@@ -112,7 +116,14 @@ def _build_input(sf_dir: str, replicate: int, path: str, files: int) -> int:
     from timberline_spark.session import get_spark
     from timberline_spark.transcripts import load_transcripts
 
-    spark = get_spark("bench_build", cores=32, shuffle_partitions=32)
+    # AQE coalescing must be OFF for the build: it collapses the tiny
+    # pre-replication shuffle (100k rows) to 1-2 partitions, and the
+    # replicate crossJoin then explodes 128M rows through 2 tasks — the
+    # whole build funnels through 2 cores (measured: 2-task stage at 128M).
+    spark = get_spark(
+        "bench_build", cores=32, shuffle_partitions=32,
+        extra_conf={"spark.sql.adaptive.coalescePartitions.enabled": "false"},
+    )
     tr = load_transcripts(spark, sf_dir, replicate=replicate)
     tr.repartition(files).write.mode("overwrite").parquet(path)
     n = spark.read.parquet(path).count()

@@ -623,8 +623,15 @@ def main(argv=None):
         "--webhook-spool", default=None,
         help="spool dir for undeliverable webhook payloads",
     )
+    ap.add_argument(
+        "--iceberg-table", default=None,
+        help="execute the S5 Iceberg DDL bootstrap for this catalog table"
+        " before running (requires iceberg-spark-runtime on the classpath)",
+    )
     args = ap.parse_args(argv)
     spark = get_spark("timberline_pipeline", cores=args.cores)
+    if args.iceberg_table:
+        bootstrap_iceberg(spark, args.iceberg_table)
     res = run_pipeline(
         spark,
         args.sf_dir,
