@@ -85,6 +85,21 @@ def test_parse_plan_has_single_from_json(spark):
         assert plan.count("from_json") == 1, (name, plan.count("from_json"))
 
 
+def test_cosine_pairs_candidate_join_is_equi(spark):
+    """The near-dup candidate generator must plan an EQUI join on the
+    capped dim index — never a cartesian/nested-loop product (the
+    quadratic-in-N shape the df cap exists to prevent)."""
+    from timberline_spark.extras.similarity import cosine_pairs
+
+    docs = spark.createDataFrame(
+        [(i, f"alpha beta gamma doc {i}") for i in range(20)],
+        "doc_id long, text string",
+    )
+    plan = _plan(cosine_pairs(docs, 0.9), "simple")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
 def test_classify_is_single_stage_no_shuffle(spark, stage_table):
     """parse+enrich+validate+route is map-only over the input scan: the
     whole per-row path is one stage (broadcasts aside)."""
