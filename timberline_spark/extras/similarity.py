@@ -302,6 +302,273 @@ SELECT label, vec_id AS rep_vec_id, cos_to_centroid FROM (
 ) t WHERE rn = 1"""
 
 
+# ---- IVF ANN: deterministic k-means coarse quantizer + cell probe -----------
+# The second scale path next to hyperplane LSH (emb_knn_lsh): partition the
+# corpus into K cells with a SEEDLESS, fixed-iteration k-means (init = the K
+# lowest vec_ids; every distance and centroid coordinate rounded so Spark
+# and DuckDB compute bit-identical assignments), then answer a query by
+# probing only the IVF_NPROBE nearest cells and exact-rescoring candidates.
+# At corpus scale the probe join is an equi-join on cluster id over ~nprobe/K
+# of the corpus instead of a full scan.
+
+KMEANS_K = 8
+KMEANS_ITERS = 3
+IVF_NPROBE = 2
+
+
+def _l2_sq_to_lit(emb_col, centroid: list[float]) -> Column:
+    """Rounded squared L2 distance to a literal centroid — an ordered left
+    fold, mirrored exactly by the DuckDB list_reduce in the oracle."""
+    c = F.array(*[F.lit(float(v)) for v in centroid])
+    return F.round(
+        F.aggregate(
+            F.zip_with(
+                emb_col, c, lambda x, y: (x.cast("double") - y) * (x.cast("double") - y)
+            ),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        ),
+        6,
+    )
+
+
+def _nearest_cells(emb_col, centroids: list[list[float]], n: int) -> Column:
+    """Array of the n nearest centroid indices (ties -> lower index)."""
+    entries = [
+        F.struct(_l2_sq_to_lit(emb_col, c).alias("d"), F.lit(j).alias("j"))
+        for j, c in enumerate(centroids)
+    ]
+    ordered = F.slice(F.array_sort(F.array(*entries)), 1, n)
+    return F.transform(ordered, lambda s: s["j"])
+
+
+def kmeans_centroids(
+    spark: SparkSession,
+    sf_dir: str,
+    k: int = KMEANS_K,
+    iters: int = KMEANS_ITERS,
+) -> list[list[float]]:
+    """Fixed-iteration Lloyd's k-means over the embeddings table, fully
+    deterministic: init = embeddings of vec_id 0..k-1 (coordinates rounded
+    to 6 dp), `iters` rounds of (assign -> per-dim mean, rounded to 6 dp),
+    empty cells keep their previous centroid. Centroids pass through the
+    driver each round (k x dim doubles — exactly how MLlib's k-means
+    broadcasts centroids); all per-row math is JVM-side.
+
+    The 6-dp rounding at every assign/update step is what makes the DuckDB
+    oracle bit-identical: the only cross-engine FP hazard left is the
+    row-order of the AVG reduction, ~1e-15 relative — far inside the
+    rounding guard."""
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    init = (
+        emb.filter(F.col("vec_id") < k)
+        .select(
+            "vec_id",
+            F.transform(
+                F.col("embedding"), lambda x: F.round(x.cast("double"), 6)
+            ).alias("c"),
+        )
+        .collect()
+    )
+    centroids = [list(r.c) for r in sorted(init, key=lambda r: r.vec_id)]
+    for _ in range(iters):
+        # NOTE: the cluster assignment and the posexplode generator must be
+        # in SEPARATE selects — resolving a generator alongside the
+        # array_sort(array(struct(...))) HOF strips the struct field names
+        # (FIELD_NOT_FOUND on `j`), a Spark 4 analyzer quirk
+        assigned = emb.select(
+            F.element_at(
+                _nearest_cells(F.col("embedding"), centroids, 1), 1
+            ).alias("cluster"),
+            "embedding",
+        ).select("cluster", F.posexplode("embedding").alias("pos", "v"))
+        rows = (
+            assigned.groupBy("cluster", "pos")
+            .agg(F.round(F.avg(F.col("v").cast("double")), 6).alias("cv"))
+            .collect()
+        )
+        by_cluster: dict[int, dict[int, float]] = {}
+        for r in rows:
+            by_cluster.setdefault(r.cluster, {})[r.pos] = r.cv
+        centroids = [
+            [by_cluster[j][p] for p in range(len(centroids[j]))]
+            if j in by_cluster
+            else centroids[j]  # empty cell: keep previous centroid
+            for j in range(k)
+        ]
+    return centroids
+
+
+def emb_kmeans(
+    spark: SparkSession,
+    sf_dir: str,
+    k: int = KMEANS_K,
+    iters: int = KMEANS_ITERS,
+) -> DataFrame:
+    """(vec_id, cluster): assignment under the final k-means centroids."""
+    centroids = kmeans_centroids(spark, sf_dir, k, iters)
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    return emb.select(
+        "vec_id",
+        F.element_at(_nearest_cells(F.col("embedding"), centroids, 1), 1).alias(
+            "cluster"
+        ),
+    )
+
+
+def emb_knn_ivf(
+    spark: SparkSession,
+    sf_dir: str,
+    k: int = 5,
+    n_queries: int = 10,
+    nprobe: int = IVF_NPROBE,
+) -> DataFrame:
+    """IVF ANN top-k: probe the nprobe nearest k-means cells per query,
+    exact-cosine rescore the cell members, rank. Recall < 1.0 by
+    construction (bounded probes) — measured against emb_knn_brute in
+    tests. Same output schema as the other knn operators."""
+    centroids = kmeans_centroids(spark, sf_dir)
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    assigned = emb.select(
+        "vec_id",
+        "embedding",
+        F.element_at(_nearest_cells(F.col("embedding"), centroids, 1), 1).alias(
+            "cluster"
+        ),
+    )
+    probes = (
+        emb.filter(F.col("vec_id") < n_queries)
+        .select(  # two selects: generator + struct-HOF quirk, see kmeans
+            F.col("vec_id").alias("query_id"),
+            F.col("embedding").alias("q_emb"),
+            _nearest_cells(F.col("embedding"), centroids, nprobe).alias("cells"),
+        )
+        .select("query_id", "q_emb", F.explode("cells").alias("cluster"))
+    )
+    scored = (
+        assigned.join(F.broadcast(probes), "cluster")
+        .filter(F.col("vec_id") != F.col("query_id"))
+        .select(
+            "query_id",
+            F.col("vec_id").alias("neighbor_id"),
+            _cosine(F.col("q_emb"), F.col("embedding")).alias("score"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("score").desc(), F.col("neighbor_id")
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "rank", "score")
+    )
+
+
+def _sql_l2(e: str, c: str, dim: int = EMBED_DIM) -> str:
+    """DuckDB rounded squared-L2 — the same ordered left fold as
+    :func:`_l2_sq_to_lit`."""
+    return (
+        f"round(list_reduce(list_prepend(CAST(0 AS DOUBLE),"
+        f" list_transform(range(1, {dim + 1}),"
+        f" i -> ({e}[i] - {c}[i]) * ({e}[i] - {c}[i]))),"
+        f" (acc, x) -> acc + x), 6)"
+    )
+
+
+def _sql_kmeans_ctes(
+    k: int = KMEANS_K, iters: int = KMEANS_ITERS, dim: int = EMBED_DIM
+) -> str:
+    """CTE chain: e, c0, (a1, m1, c1) .. unrolled to c{iters} — mirrors
+    kmeans_centroids exactly (same init, rounding, empty-cell carry)."""
+    parts = [
+        "e AS (SELECT vec_id, embedding::DOUBLE[] AS emb FROM embeddings)",
+        f"c0 AS (SELECT vec_id AS j, list_transform(emb, x -> round(x, 6)) AS c"
+        f" FROM e WHERE vec_id < {k})",
+    ]
+    for i in range(1, iters + 1):
+        prev = f"c{i - 1}"
+        parts.append(
+            f"""a{i} AS (
+  SELECT vec_id, emb, j AS cluster FROM (
+    SELECT e.vec_id, e.emb, c.j,
+           ROW_NUMBER() OVER (PARTITION BY e.vec_id
+             ORDER BY {_sql_l2("e.emb", "c.c", dim)}, c.j) AS rn
+    FROM e CROSS JOIN {prev} c
+  ) WHERE rn = 1
+)"""
+        )
+        parts.append(
+            f"""m{i} AS (
+  SELECT cluster, list(cv ORDER BY pos) AS c FROM (
+    SELECT cluster, pos, round(AVG(v), 6) AS cv FROM (
+      SELECT cluster, unnest(emb) AS v, unnest(range(1, {dim + 1})) AS pos
+      FROM a{i}
+    ) GROUP BY cluster, pos
+  ) GROUP BY cluster
+)"""
+        )
+        parts.append(
+            f"c{i} AS (SELECT {prev}.j, COALESCE(m{i}.c, {prev}.c) AS c"
+            f" FROM {prev} LEFT JOIN m{i} ON m{i}.cluster = {prev}.j)"
+        )
+    return ",\n".join(parts)
+
+
+def oracle_kmeans(k: int = KMEANS_K, iters: int = KMEANS_ITERS) -> str:
+    return f"""
+WITH {_sql_kmeans_ctes(k, iters)},
+afinal AS (
+  SELECT vec_id, j AS cluster FROM (
+    SELECT e.vec_id, c.j,
+           ROW_NUMBER() OVER (PARTITION BY e.vec_id
+             ORDER BY {_sql_l2("e.emb", "c.c")}, c.j) AS rn
+    FROM e CROSS JOIN c{iters} c
+  ) WHERE rn = 1
+)
+SELECT vec_id, cluster FROM afinal"""
+
+
+def oracle_knn_ivf(
+    k: int = 5,
+    n_queries: int = 10,
+    nprobe: int = IVF_NPROBE,
+    kk: int = KMEANS_K,
+    iters: int = KMEANS_ITERS,
+) -> str:
+    return f"""
+WITH {_sql_kmeans_ctes(kk, iters)},
+afinal AS (
+  SELECT vec_id, emb, j AS cluster FROM (
+    SELECT e.vec_id, e.emb, c.j,
+           ROW_NUMBER() OVER (PARTITION BY e.vec_id
+             ORDER BY {_sql_l2("e.emb", "c.c")}, c.j) AS rn
+    FROM e CROSS JOIN c{iters} c
+  ) WHERE rn = 1
+),
+probes AS (
+  SELECT vec_id AS query_id, emb AS q_emb, j AS cluster FROM (
+    SELECT e.vec_id, e.emb, c.j,
+           ROW_NUMBER() OVER (PARTITION BY e.vec_id
+             ORDER BY {_sql_l2("e.emb", "c.c")}, c.j) AS rn
+    FROM e CROSS JOIN c{iters} c
+    WHERE e.vec_id < {n_queries}
+  ) WHERE rn <= {nprobe}
+),
+scored AS (
+  SELECT p.query_id, a.vec_id AS neighbor_id,
+    ROUND(list_dot_product(p.q_emb, a.emb) /
+      NULLIF(sqrt(list_dot_product(p.q_emb, p.q_emb)) *
+             sqrt(list_dot_product(a.emb, a.emb)), 0.0), 4) AS score
+  FROM probes p JOIN afinal a ON a.cluster = p.cluster
+  WHERE a.vec_id <> p.query_id
+)
+SELECT query_id, neighbor_id, rank, score FROM (
+  SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+      ORDER BY score DESC, neighbor_id) AS rank
+  FROM scored
+) t WHERE rank <= {k}"""
+
+
 # ---- embedding surrogate (pandas UDF) ---------------------------------------
 
 

@@ -390,6 +390,8 @@ def _extra_registries():
         "doc_neardup_components": lambda s, d: sim.doc_neardup_components(s, d, 0.99),
         "emb_knn_brute": sim.emb_knn_brute,
         "emb_knn_lsh": sim.emb_knn_lsh,
+        "emb_kmeans": sim.emb_kmeans,
+        "emb_knn_ivf": sim.emb_knn_ivf,
         "emb_centroid_rep": sim.emb_centroid_rep,
         # scalar (doc_id, feature_idx, value) view: array<float> stays the
         # library-level API; the registered check explodes it so the driver
@@ -412,6 +414,8 @@ def _extra_registries():
         "doc_neardup_components": sim.oracle_neardup_components(0.99),
         "emb_knn_brute": sim.oracle_knn_brute(),
         "emb_knn_lsh": sim.oracle_knn_lsh(),
+        "emb_kmeans": sim.oracle_kmeans(),
+        "emb_knn_ivf": sim.oracle_knn_ivf(),
         "emb_centroid_rep": sim.oracle_centroid_rep(),
         "multimodal_frames": mm.oracle_frame_sample(),
         "multimodal_features": mm.oracle_features(),
