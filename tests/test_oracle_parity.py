@@ -34,6 +34,22 @@ def test_pandas_udf_grok_equals_native(spark):
     assert a.equals(b)
 
 
+def test_fuzzy_buckets_empty_input(spark):
+    """Zero kept rows (e.g. a date range with no logs) must yield an empty
+    fuzzy bucket table with the right schema, not a crash in the CC loop."""
+    from timberline_spark import aggregate as agg
+
+    deduped = spark.createDataFrame(
+        [],
+        "conv_id string, turn_idx int, level string, service string,"
+        " message string, duplicate_count long, first_ts_ms long,"
+        " last_ts_ms long, is_error boolean, is_warning boolean",
+    )
+    out = agg.report_buckets_fuzzy(deduped)
+    assert out.count() == 0
+    assert "n_templates" in out.columns and "fingerprint" in out.columns
+
+
 def test_fuzzy_buckets_merge_near_identical_messages(spark):
     """VERDICT round 3 #4 acceptance: two messages ONE character apart (so
     their digit-collapsed fingerprints differ and the exact path keeps two
