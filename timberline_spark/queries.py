@@ -238,6 +238,91 @@ API_T0_MS = 1_704_412_800_000  # 2024-01-05T00:00:00Z
 API_T1_MS = 1_705_017_600_000  # 2024-01-12T00:00:00Z
 API_SERVICE = "svc-3"
 
+# POST /api/v1/logs/search parameters for the registered query
+SEARCH_QUERY = "payment gateway timeout retries"
+SEARCH_LIMIT = 50
+
+
+def search_query_weights(query: str):
+    """Query-side sparse vector: hashed-token dims -> L2-normalized weights,
+    computed in plain Python with the SAME polynomial arithmetic the
+    message side and the DuckDB oracle use (extras/xhash.py). Tiny (a few
+    tokens) — this is the literal broadcast side of the search join."""
+    import collections
+    import math
+    import re as _re
+
+    from .extras import xhash as xh
+    from .extras.similarity import DOC_COSINE_DIM
+
+    toks = _re.findall(xh.TOKEN_RE, query.lower())
+    cnt = collections.Counter(xh.py_char_hash(t) % DOC_COSINE_DIM for t in toks)
+    qn = math.sqrt(sum(c * c for c in cnt.values()))
+    return {int(d): c / qn for d, c in cnt.items()}
+
+
+def q_log_search(
+    spark: SparkSession,
+    sf_dir: str,
+    query: str = SEARCH_QUERY,
+    limit: int = SEARCH_LIMIT,
+) -> DataFrame:
+    """POST /api/v1/logs/search — semantic log search. The reference
+    DECLARES this endpoint but ships it as a not-implemented stub
+    (api/routes/logs.py:88-109 'Semantic search not yet implemented');
+    this is the real distributed implementation of the design it sketches
+    (embed query -> vector similarity -> top matches).
+
+    Scale shape: the query's sparse hashed-token vector is a handful of
+    dims, so scoring is an inverted-index equi-join on ONLY those dims
+    (broadcast literal), a combinable per-row dot-product aggregation, and
+    a TakeOrderedAndProject top-k — never a full-corpus dense scan. Rows
+    sharing no token with the query never leave the scan."""
+    import re as _re  # noqa: F401  (parity with search_query_weights)
+
+    from .extras import xhash as xh
+    from .extras.similarity import DOC_COSINE_DIM
+
+    qw = search_query_weights(query)
+    kept = route.kept_turns(_classified(spark, sf_dir))
+    rows = kept.select(
+        "conv_id", "turn_idx", "level", "service", "message",
+        F.col("effective_ts_ms").alias("ts_ms"),
+    )
+    tf = (
+        kept.select(
+            "conv_id",
+            "turn_idx",
+            F.explode(xh.token_hashes(F.col("message"))).alias("th"),
+        )
+        .groupBy(
+            "conv_id", "turn_idx", (F.col("th") % DOC_COSINE_DIM).alias("dim")
+        )
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    norm = tf.groupBy("conv_id", "turn_idx").agg(
+        F.sqrt(F.sum(F.col("cnt") * F.col("cnt"))).alias("nrm")
+    )
+    qdf = spark.createDataFrame(
+        [(d, w) for d, w in sorted(qw.items())], "dim bigint, qw double"
+    )
+    scored = (
+        tf.join(F.broadcast(qdf), "dim")
+        .groupBy("conv_id", "turn_idx")
+        .agg(F.sum(F.col("cnt") * F.col("qw")).alias("dot"))
+        .join(norm, ["conv_id", "turn_idx"])
+        .select(
+            "conv_id",
+            "turn_idx",
+            F.round(F.col("dot") / F.col("nrm"), 4).alias("score"),
+        )
+    )
+    return (
+        rows.join(scored, ["conv_id", "turn_idx"])
+        .orderBy(F.col("score").desc(), "conv_id", "turn_idx")
+        .limit(limit)
+    )
+
 
 def q_api_logs(spark: SparkSession, sf_dir: str, limit: int = 100) -> DataFrame:
     """GET /api/v1/logs analog (api/routes/logs.py:13-85): time-range +
@@ -362,6 +447,7 @@ PIPELINE_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "dedup_examples": q_dedup_examples,
     "level_info_default": q_level_info_default,
     "api_logs": q_api_logs,
+    "log_search": q_log_search,
     "recent_reports": q_recent_reports,
     "top20_clusters": q_top20_clusters,
 }
