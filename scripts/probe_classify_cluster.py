@@ -81,7 +81,12 @@ def main() -> None:
     from timberline_spark.session import get_spark
     from timberline_spark.transcripts import load_transcripts
 
-    sp = get_spark("probe_build", cores=32, shuffle_partitions=32)
+    # coalescing off: AQE otherwise collapses the tiny pre-replication
+    # shuffle to 2 partitions and the crossJoin explodes through 2 tasks
+    sp = get_spark(
+        "probe_build", cores=32, shuffle_partitions=32,
+        extra_conf={"spark.sql.adaptive.coalescePartitions.enabled": "false"},
+    )
     tr = load_transcripts(sp, "/root/testdata/sf0.1", replicate=replicate)
     tr.repartition(128).write.mode("overwrite").parquet(input_table)
     n = sp.read.parquet(input_table).count()
