@@ -79,7 +79,11 @@ def test_parse_plan_has_single_from_json(spark):
     a measured 2x parse-stage cost at sf0.1."""
     from timberline_spark import queries as Q
 
-    for name in ("parse", "kept_rows"):
+    # route_errors regression (round 4): InferFiltersFromConstraints turned
+    # the enrichment join's level filter into an isnotnull(level_raw)
+    # pre-join filter carrying 12 inlined from_json copies (measured 2.2x
+    # query cost); the rule is excluded in session.py
+    for name in ("parse", "kept_rows", "route_errors", "route_tool_calls"):
         df = Q.PIPELINE_QUERIES[name](spark, SF_TINY)
         plan = df._jdf.queryExecution().optimizedPlan().toString()
         assert plan.count("from_json") == 1, (name, plan.count("from_json"))
