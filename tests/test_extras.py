@@ -162,6 +162,30 @@ def test_knn_ivf_recall_and_partition(spark):
     assert recall >= 0.6, recall
 
 
+def test_kmeans_handles_small_and_noncontiguous_ids(spark, tmp_path):
+    """CODE-REVIEW round 4: init must be 'the k lowest ids PRESENT, labeled
+    by rank' — `vec_id < k` crashed on < k rows and silently diverged from
+    the oracle on non-contiguous ids. 5 vectors starting at id 100, k=8."""
+    import duckdb
+
+    rows = [(100 + i, [float((i * 7 + j) % 5) for j in range(sim.EMBED_DIM)], 0)
+            for i in range(5)]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>, label int")
+    df.coalesce(1).write.mode("overwrite").parquet(str(tmp_path / "embeddings.parquet"))
+    out = {r.vec_id: r.cluster for r in sim.emb_kmeans(spark, str(tmp_path)).collect()}
+    assert set(out) == {100, 101, 102, 103, 104}
+    con = duckdb.connect()
+    try:
+        con.execute(
+            "CREATE VIEW embeddings AS SELECT * FROM "
+            f"'{tmp_path}/embeddings.parquet/*.parquet'"
+        )
+        oracle = {int(a): int(b) for a, b in con.execute(sim.oracle_kmeans()).fetchall()}
+    finally:
+        con.close()
+    assert out == oracle
+
+
 def test_knn_lsh_recall_vs_brute(spark):
     brute = {
         (r.query_id, r.neighbor_id)

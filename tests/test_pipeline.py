@@ -176,6 +176,59 @@ def test_dedup_hash_key_escape_hatch(spark):
     kept.unpersist()
 
 
+def test_audit_hash_uses_independent_byte_stream(spark):
+    """CODE-REVIEW round 4 (confirmed): multi-arg xxhash64(key, lit)
+    chains — each argument is hashed with the running hash as its SEED, so
+    a first-hash collision between two keys propagates into the second
+    hash and a sentinel built on xxhash64(key, lit) can never fire. The
+    audit therefore hashes concat(key, salt): a different byte stream,
+    independent collision event. Seeds aren't expressible in SQL, so this
+    test pins the observable half (the two formulas differ) and the source
+    uses the concat form (asserted against the aggregate plan)."""
+    from timberline_spark import aggregate as agg
+
+    row = spark.sql(
+        "SELECT xxhash64('a', '#audit') AS chained,"
+        " xxhash64(concat('a', '#audit')) AS independent"
+    ).collect()[0]
+    assert row.independent != row.chained
+    # the audit aggregate really hashes the concatenated byte stream
+    kept = spark.createDataFrame(
+        [("c", 0, "INFO", "svc", "msg", 1000)],
+        "conv_id string, turn_idx int, level string, service string,"
+        " message string, effective_ts_ms long",
+    ).selectExpr("*", "'low' severity", "2 severity_score", "false is_error",
+                 "false is_warning", "map('a','b') labels")
+    plan = agg.dedup_turns(kept, audit=True)._jdf.queryExecution().analyzed().toString()
+    assert "concat(lower(message" in plan, plan[:500]
+
+
+def test_dedup_hash_key_false_pipeline_runs(spark, monkeypatch):
+    """CODE-REVIEW round 4 (confirmed): the documented escape hatch
+    (aggregate.DEDUP_HASH_KEY = False) must RUN — the audit column the
+    pipeline's collision metric reads has to exist in exact-key mode too,
+    with identical sink output."""
+    from timberline_spark import aggregate as agg
+
+    a = tempfile.mkdtemp(prefix="tl_exact_")
+    b = tempfile.mkdtemp(prefix="tl_hashk_")
+    try:
+        monkeypatch.setattr(agg, "DEDUP_HASH_KEY", False)
+        run_pipeline(spark, SF_TINY, a, run_id="ek")
+        monkeypatch.setattr(agg, "DEDUP_HASH_KEY", True)
+        run_pipeline(spark, SF_TINY, b, run_id="ek")
+        for t in ["report_buckets", "report_summary", "top_issues"]:
+            x = normalize(spark.read.parquet(f"{a}/{t}").toPandas())
+            y = normalize(spark.read.parquet(f"{b}/{t}").toPandas())
+            assert x.equals(y), t
+        m = spark.read.parquet(f"{a}/_metrics")
+        rows = m.filter(F.col("stage") == "dedup_hash_collisions").collect()
+        assert rows and all(r.rows_out == 0 for r in rows)
+    finally:
+        shutil.rmtree(a, ignore_errors=True)
+        shutil.rmtree(b, ignore_errors=True)
+
+
 def test_collision_metric_written(spark, outdirs):
     full_dir, _ = outdirs
     metrics = spark.read.parquet(f"{full_dir}/_metrics")

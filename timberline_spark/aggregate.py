@@ -116,11 +116,20 @@ def dedup_turns(
     ]
     extra_cols = []
     if audit and hash_key:
-        # independent second hash: appending a literal changes every input
-        # byte sequence, so collisions under the two hashes are independent
-        h2 = F.xxhash64(exact, F.lit("audit"))
+        # independent second hash over a DIFFERENT byte sequence. NOT
+        # multi-arg xxhash64(exact, lit): Spark folds that as
+        # XXH64("audit", seed=XXH64(exact)) — a chained hash where a
+        # first-hash collision implies a second-hash collision, making the
+        # sentinel structurally blind. Hashing concat(exact, salt) feeds
+        # different bytes, so the two collision events are independent.
+        h2 = F.xxhash64(F.concat(exact, F.lit("#audit")))
         aggs += [F.min(h2).alias("_h2min"), F.max(h2).alias("_h2max")]
         extra_cols = [(F.col("_h2min") != F.col("_h2max")).alias("key_collision")]
+    elif audit:
+        # exact string keys cannot collide; the column still exists so the
+        # pipeline's collision metric works in BOTH key modes (the escape
+        # hatch must not crash the run it exists to rescue)
+        extra_cols = [F.lit(False).alias("key_collision")]
     g = df.groupBy(*extra_keys, "dedup_h").agg(*aggs)
     return g.select(*extra_keys, *_unpack_rep(), *extra_cols)
 
@@ -211,21 +220,14 @@ def cluster_fingerprint(message_col, level_col):
     )
 
 
-def report_buckets(deduped: DataFrame, extra_keys: tuple[str, ...] = ()) -> DataFrame:
-    """Cluster-level aggregates + representative, one shuffle (hash-agg only).
-
-    Like dedup_turns, the shuffle groups on xxhash64(fingerprint) — the
-    fingerprint string (level + digit-collapsed message) is re-derived from
-    the winning representative, which by construction yields the group's
-    fingerprint for any member."""
-    df = deduped.withColumn(
-        "fp_h",
-        F.xxhash64(cluster_fingerprint(F.col("message"), F.col("level"))),
-    ).withColumn("level_priority", _level_priority(F.col("level")))
-    # representative order (milvus_client.py:331-349): priority desc,
-    # recency desc, then (conv_id, turn_idx) asc — encoded as a min(struct)
-    # by negating the numeric desc keys, so the whole bucket build is one
-    # hash aggregate (map-side combinable; no window sort).
+def _bucket_aggs() -> list:
+    """The per-cluster aggregate list + min(struct) representative shared
+    by the exact and fuzzy report paths — ONE definition so the two paths
+    cannot drift. Representative order (milvus_client.py:331-349): priority
+    desc, recency desc, then (conv_id, turn_idx) asc — encoded as a
+    min(struct) by negating the numeric desc keys, so the whole bucket
+    build is one hash aggregate (map-side combinable; no window sort).
+    Requires a `level_priority` column on the input."""
     rep = F.struct(
         (-F.col("level_priority")).alias("neg_priority"),
         (-F.col("last_ts_ms")).alias("neg_last_ts"),
@@ -234,7 +236,7 @@ def report_buckets(deduped: DataFrame, extra_keys: tuple[str, ...] = ()) -> Data
         F.col("level"),
         F.col("message"),
     )
-    g = df.groupBy(*extra_keys, "fp_h").agg(
+    return [
         F.count(F.lit(1)).alias("n_unique"),
         F.sum("duplicate_count").alias("total_log_count"),
         F.sum(
@@ -247,19 +249,38 @@ def report_buckets(deduped: DataFrame, extra_keys: tuple[str, ...] = ()) -> Data
         F.min("first_ts_ms").alias("first_ts_ms"),
         F.max("last_ts_ms").alias("last_ts_ms"),
         F.min(rep).alias("rep"),
-    )
+    ]
+
+
+_BUCKET_OUT = [
+    "n_unique",
+    "total_log_count",
+    "error_count",
+    "warning_count",
+    "n_sources",
+    "first_ts_ms",
+    "last_ts_ms",
+]
+
+
+def report_buckets(deduped: DataFrame, extra_keys: tuple[str, ...] = ()) -> DataFrame:
+    """Cluster-level aggregates + representative, one shuffle (hash-agg only).
+
+    Like dedup_turns, the shuffle groups on xxhash64(fingerprint) — the
+    fingerprint string (level + digit-collapsed message) is re-derived from
+    the winning representative, which by construction yields the group's
+    fingerprint for any member."""
+    df = deduped.withColumn(
+        "fp_h",
+        F.xxhash64(cluster_fingerprint(F.col("message"), F.col("level"))),
+    ).withColumn("level_priority", _level_priority(F.col("level")))
+    g = df.groupBy(*extra_keys, "fp_h").agg(*_bucket_aggs())
     return g.select(
         *extra_keys,
         cluster_fingerprint(F.col("rep.message"), F.col("rep.level")).alias(
             "fingerprint"
         ),
-        "n_unique",
-        "total_log_count",
-        "error_count",
-        "warning_count",
-        "n_sources",
-        "first_ts_ms",
-        "last_ts_ms",
+        *_BUCKET_OUT,
         F.col("rep.level").alias("rep_level"),
         _truncate_message(F.col("rep.message")).alias("representative_message"),
     )
@@ -312,39 +333,13 @@ def report_buckets_fuzzy(
         F.col("doc_id").alias("fingerprint"), "component"
     )
     merged = df.join(F.broadcast(comp), "fingerprint")
-    rep = F.struct(
-        (-F.col("level_priority")).alias("neg_priority"),
-        (-F.col("last_ts_ms")).alias("neg_last_ts"),
-        F.col("conv_id"),
-        F.col("turn_idx"),
-        F.col("level"),
-        F.col("message"),
-    )
     g = merged.groupBy("component").agg(
-        F.countDistinct("fingerprint").alias("n_templates"),
-        F.count(F.lit(1)).alias("n_unique"),
-        F.sum("duplicate_count").alias("total_log_count"),
-        F.sum(
-            F.when(F.col("is_error"), F.col("duplicate_count")).otherwise(F.lit(0))
-        ).alias("error_count"),
-        F.sum(
-            F.when(F.col("is_warning"), F.col("duplicate_count")).otherwise(F.lit(0))
-        ).alias("warning_count"),
-        F.countDistinct("service").alias("n_sources"),
-        F.min("first_ts_ms").alias("first_ts_ms"),
-        F.max("last_ts_ms").alias("last_ts_ms"),
-        F.min(rep).alias("rep"),
+        F.countDistinct("fingerprint").alias("n_templates"), *_bucket_aggs()
     )
     out = g.select(
         F.col("component").alias("fingerprint"),
         "n_templates",
-        "n_unique",
-        "total_log_count",
-        "error_count",
-        "warning_count",
-        "n_sources",
-        "first_ts_ms",
-        "last_ts_ms",
+        *_BUCKET_OUT,
         F.col("rep.level").alias("rep_level"),
         _truncate_message(F.col("rep.message")).alias("representative_message"),
     ).localCheckpoint(eager=True)

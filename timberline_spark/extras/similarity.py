@@ -360,8 +360,12 @@ def kmeans_centroids(
     row-order of the AVG reduction, ~1e-15 relative — far inside the
     rounding guard."""
     emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    # init = the k LOWEST vec_ids PRESENT, labeled by rank position — not
+    # `vec_id < k`, which crashes on tables with < k rows and silently
+    # diverges from the oracle when low ids are non-contiguous
     init = (
-        emb.filter(F.col("vec_id") < k)
+        emb.orderBy("vec_id")
+        .limit(k)
         .select(
             "vec_id",
             F.transform(
@@ -371,6 +375,9 @@ def kmeans_centroids(
         .collect()
     )
     centroids = [list(r.c) for r in sorted(init, key=lambda r: r.vec_id)]
+    if not centroids:
+        raise ValueError("kmeans_centroids: embeddings table is empty")
+    k = len(centroids)  # k_eff <= requested k when the table is small
     for _ in range(iters):
         # NOTE: the cluster assignment and the posexplode generator must be
         # in SEPARATE selects — resolving a generator alongside the
@@ -482,8 +489,11 @@ def _sql_kmeans_ctes(
     kmeans_centroids exactly (same init, rounding, empty-cell carry)."""
     parts = [
         "e AS (SELECT vec_id, embedding::DOUBLE[] AS emb FROM embeddings)",
-        f"c0 AS (SELECT vec_id AS j, list_transform(emb, x -> round(x, 6)) AS c"
-        f" FROM e WHERE vec_id < {k})",
+        # the k lowest PRESENT ids, labeled by rank position (mirror of the
+        # Spark init — robust to < k rows and non-contiguous ids)
+        f"c0 AS (SELECT ROW_NUMBER() OVER (ORDER BY vec_id) - 1 AS j,"
+        f" list_transform(emb, x -> round(x, 6)) AS c"
+        f" FROM e QUALIFY j < {k})",
     ]
     for i in range(1, iters + 1):
         prev = f"c{i - 1}"

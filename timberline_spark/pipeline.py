@@ -575,8 +575,15 @@ def iceberg_available(spark: SparkSession) -> bool:
     ``--packages org.apache.iceberg:iceberg-spark-runtime-...`` it gates
     :func:`bootstrap_iceberg`."""
     try:
-        spark._jvm.java.lang.Class.forName(
-            "org.apache.iceberg.spark.SparkCatalog"
+        # resolve through the CONTEXT classloader, not Class.forName's
+        # caller loader: jars added via --packages/--jars live in Spark's
+        # MutableURLClassLoader, which only the context loader sees — the
+        # caller-loader probe returns a false negative on exactly the
+        # deployment this function is meant to enable
+        (
+            spark._jvm.java.lang.Thread.currentThread()
+            .getContextClassLoader()
+            .loadClass("org.apache.iceberg.spark.SparkCatalog")
         )
         return True
     except Exception:

@@ -250,13 +250,11 @@ def search_query_weights(query: str):
     tokens) — this is the literal broadcast side of the search join."""
     import collections
     import math
-    import re as _re
 
     from .extras import xhash as xh
     from .extras.similarity import DOC_COSINE_DIM
 
-    toks = _re.findall(xh.TOKEN_RE, query.lower())
-    cnt = collections.Counter(xh.py_char_hash(t) % DOC_COSINE_DIM for t in toks)
+    cnt = collections.Counter(h % DOC_COSINE_DIM for h in xh.py_token_hashes(query))
     qn = math.sqrt(sum(c * c for c in cnt.values()))
     return {int(d): c / qn for d, c in cnt.items()}
 
@@ -278,7 +276,6 @@ def q_log_search(
     (broadcast literal), a combinable per-row dot-product aggregation, and
     a TakeOrderedAndProject top-k — never a full-corpus dense scan. Rows
     sharing no token with the query never leave the scan."""
-    import re as _re  # noqa: F401  (parity with search_query_weights)
 
     from .extras import xhash as xh
     from .extras.similarity import DOC_COSINE_DIM

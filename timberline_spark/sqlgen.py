@@ -457,30 +457,29 @@ def q_log_search(d: Dialect = DUCKDB, query: str | None = None, limit: int | Non
     qw = search_query_weights(query if query is not None else SEARCH_QUERY)
     limit = limit if limit is not None else SEARCH_LIMIT
     qvals = ", ".join(f"({dim}, {repr(w)})" for dim, w in sorted(qw.items()))
+    # the body EXTENDS the shared WITH chain: one hashed-token tf CTE feeds
+    # both the score join and the norms (mirroring the Spark tf -> norm
+    # reuse) instead of tokenizing every kept message twice
     return _q(
         d,
-        f"""SELECT k.conv_id, k.turn_idx, k.level, k.service, k.message,
+        f""", lstf AS {d.mat}(
+  SELECT conv_id, turn_idx, dim, COUNT(*) AS cnt FROM (
+    SELECT conv_id, turn_idx,
+           unnest({xh.sql_token_hashes('message')}) % {DOC_COSINE_DIM} AS dim
+    FROM kept
+  ) GROUP BY conv_id, turn_idx, dim
+), lsnorm AS (
+  SELECT conv_id, turn_idx, sqrt(CAST(SUM(cnt * cnt) AS DOUBLE)) AS nrm
+  FROM lstf GROUP BY conv_id, turn_idx
+)
+SELECT k.conv_id, k.turn_idx, k.level, k.service, k.message,
        k.effective_ts_ms AS ts_ms, s.score
 FROM kept k
 JOIN (
   SELECT t.conv_id, t.turn_idx, ROUND(SUM(t.cnt * q.qw) / ANY_VALUE(n.nrm), 4) AS score
-  FROM (
-    SELECT conv_id, turn_idx, dim, COUNT(*) AS cnt FROM (
-      SELECT conv_id, turn_idx,
-             unnest({xh.sql_token_hashes('message')}) % {DOC_COSINE_DIM} AS dim
-      FROM kept
-    ) GROUP BY conv_id, turn_idx, dim
-  ) t
+  FROM lstf t
   JOIN (VALUES {qvals}) q(dim, qw) ON t.dim = q.dim
-  JOIN (
-    SELECT conv_id, turn_idx, sqrt(CAST(SUM(cnt * cnt) AS DOUBLE)) AS nrm FROM (
-      SELECT conv_id, turn_idx, dim, COUNT(*) AS cnt FROM (
-        SELECT conv_id, turn_idx,
-               unnest({xh.sql_token_hashes('message')}) % {DOC_COSINE_DIM} AS dim
-        FROM kept
-      ) GROUP BY conv_id, turn_idx, dim
-    ) GROUP BY conv_id, turn_idx
-  ) n ON n.conv_id = t.conv_id AND n.turn_idx = t.turn_idx
+  JOIN lsnorm n ON n.conv_id = t.conv_id AND n.turn_idx = t.turn_idx
   GROUP BY t.conv_id, t.turn_idx
 ) s ON s.conv_id = k.conv_id AND s.turn_idx = k.turn_idx
 ORDER BY s.score DESC, k.conv_id, k.turn_idx LIMIT {limit}""",
