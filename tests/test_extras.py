@@ -347,6 +347,117 @@ def test_jaccard_floor_pairs_near_identical_heavy_group(spark, tmp_path):
     assert not any("uniqedit" in s for s in rows[0].shs)
 
 
+def _two_variant_heavy_corpus(spark, tmp_path, n_per=60, shared_tokens=60):
+    """Two sub-variants of one heavy near-identical group, built so the
+    rare-K floor picks of variant A and variant B are DISJOINT: each variant
+    appends two variant-specific tokens (df = n_per, rarer than the shared
+    df = 2*n_per shingles), so with RARE_SHINGLES_PER_DOC = 2 both floor
+    slots go to variant shingles and the capped index alone generates ZERO
+    cross-variant candidates — the round-4 silent recall loss. Every doc
+    also carries a df=1 unique token (truly near-identical, not byte-
+    identical). Cross-variant Jaccard ~0.88, within-variant ~0.94."""
+    shared = " ".join(f"word{i:02d}" for i in range(shared_tokens))
+    rows = [(i, f"{shared} galphaone galphatwo uniq{i}") for i in range(n_per)]
+    rows += [
+        (1000 + i, f"{shared} gbetaone gbetatwo uniq{1000 + i}")
+        for i in range(n_per)
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    df.coalesce(2).write.mode("overwrite").parquet(str(tmp_path / "documents.parquet"))
+    a_ids = list(range(n_per))
+    b_ids = [1000 + i for i in range(n_per)]
+    return a_ids, b_ids
+
+
+def test_jaccard_minhash_rescue_pairs_divergent_floor_picks(spark, tmp_path):
+    """VERDICT round 4 demand #3: when every shared shingle is hot AND the
+    two docs' rare-K floor picks don't intersect, the df-capped index finds
+    nothing — the minhash-any-band rescue must find ALL cross-variant pairs
+    anyway (and the DuckDB oracle must agree bit-for-bit)."""
+    import duckdb
+
+    a_ids, b_ids = _two_variant_heavy_corpus(spark, tmp_path)
+    sf = str(tmp_path)
+    cap = 10
+
+    # 1. prove the fixture bites: the capped index ALONE yields no
+    #    cross-variant candidates (disjoint floor picks, all shared hot)
+    docs = spark.read.parquet(f"{sf}/documents.parquet")
+    exploded = docs.select(
+        "doc_id", F.explode(dd._shingles(F.col("text"))).alias("shingle")
+    )
+    idx = dd.capped_index(exploded, "shingle", cap, dd.RARE_SHINGLES_PER_DOC)
+    i1, i2 = idx.alias("a"), idx.alias("b")
+    cross_from_index = (
+        i1.join(
+            i2,
+            (F.col("a.shingle") == F.col("b.shingle"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .filter(F.col("a.doc_id").isin(a_ids) & F.col("b.doc_id").isin(b_ids))
+        .count()
+    )
+    assert cross_from_index == 0
+
+    # 2. every doc of the group is rescue-eligible
+    hot = {
+        r.doc_id
+        for r in dd.rescue_doc_ids(
+            exploded, "shingle", cap, dd.RARE_SHINGLES_PER_DOC
+        ).collect()
+    }
+    assert set(a_ids) | set(b_ids) <= hot
+
+    # 3. the full operator finds ALL pairs — within and across variants
+    pairs = dd.doc_jaccard_pairs(spark, sf, 0.8, max_shingle_df=cap)
+    got = {(r.doc_a, r.doc_b) for r in pairs.collect()}
+    all_ids = sorted(a_ids + b_ids)
+    want = {
+        (a, b) for i, a in enumerate(all_ids) for b in all_ids[i + 1:]
+    }
+    assert want <= got
+
+    # 4. DuckDB oracle parity on the same fixture
+    con = duckdb.connect()
+    try:
+        con.execute(
+            f"CREATE VIEW documents AS SELECT * FROM '{sf}/documents.parquet/*.parquet'"
+        )
+        assert_frames_equal(
+            pairs,
+            con.sql(dd.oracle_jaccard_pairs(0.8, max_shingle_df=cap)),
+            float_cols=("jaccard",),
+        )
+    finally:
+        con.close()
+
+
+def test_cosine_minhash_rescue_pairs_divergent_floor_picks(spark, tmp_path):
+    """Same rescue for the sparse-cosine candidate index (feeds
+    doc_cosine_neardup, doc_neardup_components and report_buckets_fuzzy)."""
+    import duckdb
+
+    a_ids, b_ids = _two_variant_heavy_corpus(spark, tmp_path)
+    sf = str(tmp_path)
+    pairs = sim.doc_cosine_neardup(spark, sf, 0.9, max_dim_df=10)
+    got = {(r.doc_a, r.doc_b) for r in pairs.collect()}
+    # cross-variant pairs must be present (cosine ~0.95 >= 0.9)
+    cross = {(a, b) for a in a_ids for b in b_ids}
+    assert cross <= got
+    con = duckdb.connect()
+    try:
+        con.execute(
+            f"CREATE VIEW documents AS SELECT * FROM '{sf}/documents.parquet/*.parquet'"
+        )
+        assert_frames_equal(
+            pairs,
+            con.sql(sim.oracle_cosine_neardup(0.9, max_dim_df=10)),
+            float_cols=("cosine",),
+        )
+    finally:
+        con.close()
+
+
 def _chain_corpus(spark, tmp_path, n_docs=50, window=100):
     """Sliding-window docs: doc i = 100 distinct tokens i..i+99, so adjacent
     docs share 99 tokens (cosine exactly 0.99) and 2-apart docs share 98

@@ -44,13 +44,13 @@ MAX_SHINGLE_DF = 100
 # case dedup targets. df=1 shingles are skipped by the floor — they join
 # only with themselves and can never produce a pair, and for NEAR-identical
 # docs they are precisely the unique-edit shingles that would otherwise
-# crowd out the shared ones. Guarantee: byte-IDENTICAL docs rank their
-# shingles identically (order by df, shingle) and always pair. For
-# near-identical docs in heavy groups pairing is likely but NOT guaranteed
-# (the K rarest shared shingles of A may differ from B's when their shared
-# sets differ); raise RARE_SHINGLES_PER_DOC for stronger recall there —
-# see tests/test_extras.py for both the guarantee and the near-identical
-# heavy-group behavior.
+# crowd out the shared ones. Byte-IDENTICAL docs rank their shingles
+# identically (order by df, shingle) and always pair via the floor.
+# NEAR-identical docs in heavy groups need not share floor picks — they are
+# covered by the minhash-any-band rescue instead (rescue_doc_ids +
+# minhash_any_pairs, round 5): docs whose surviving index is fragile get
+# candidates from 16 single-row minhash bands, P(miss) = (1-J)^16 ~ 0.
+# tests/test_extras.py pins both the floor guarantee and the rescue.
 RARE_SHINGLES_PER_DOC = 2
 
 
@@ -160,6 +160,17 @@ def doc_jaccard_pairs(
         .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
         .distinct()
     )
+    # Heavy-group recall rescue: docs whose every shared shingle is hot get
+    # a second candidate source — any-of-16 single-row minhash bands over
+    # their char-hashed shingle sets (guaranteed-in-practice recall for
+    # near-identical docs; exact verify below restores precision).
+    hot_sets = docs.join(
+        rescue_doc_ids(
+            exploded, "shingle", max_shingle_df, RARE_SHINGLES_PER_DOC
+        ),
+        "doc_id",
+    ).select("doc_id", F.transform("sh", xh.char_hash).alias("hs"))
+    cand = cand.unionByName(minhash_any_pairs(hot_sets)).distinct()
     return _verify_pairs(cand, docs, threshold)
 
 
@@ -191,6 +202,101 @@ def capped_index(
         .filter((F.col("df") <= max_df) | (F.col("rk") <= rare_k))
         .select("doc_id", key)
     )
+
+
+def rescue_doc_ids(
+    exploded: DataFrame, key: str, max_df: int, rare_k: int
+) -> DataFrame:
+    """doc_ids the df-capped index under-serves: at least one shared
+    (df >= 2) key is hot (df > max_df) AND at most ``rare_k`` shared keys
+    survive the cap (df in [2, max_df]).
+
+    A heavy near-identical group loses essentially all joinable keys to the
+    df cap; what remains is the rare-K floor, whose picks two near-identical
+    (non-byte-identical) docs need not share, plus at most a stray
+    incidental low-df key (e.g. a hash collision in a fixed dim space) that
+    joins almost nothing. Requiring "every shared key hot" would wrongly
+    exclude docs with such a stray key — the gate is "fragile surviving
+    index", not "empty surviving index". df=1 keys are ignored throughout:
+    they cannot produce a pair, and a near-identical doc in a heavy group
+    always carries a few unique-edit keys.
+    """
+    dfreq = exploded.groupBy(key).agg(F.count(F.lit(1)).alias("df"))
+    return (
+        exploded.join(dfreq, key)
+        .filter(F.col("df") >= 2)
+        .groupBy("doc_id")
+        .agg(
+            F.max("df").alias("max_df"),
+            F.sum(
+                F.when(F.col("df") <= max_df, 1).otherwise(0)
+            ).alias("n_surviving"),
+        )
+        .filter((F.col("max_df") > max_df) & (F.col("n_surviving") <= rare_k))
+        .select("doc_id")
+    )
+
+
+def minhash_any_pairs(hot_sets: DataFrame) -> DataFrame:
+    """Rescue candidate pairs for all-hot docs: two docs are candidates if
+    they share ANY of MINHASH_PERMS min-hashes (single-row bands).
+
+    ``hot_sets(doc_id, hs: array<long>)`` is the hashed key set per all-hot
+    doc. Single-row bands maximize recall: P(miss) = (1 - J)^PERMS, i.e.
+    ~6e-12 at Jaccard 0.8 — near-identical docs are found with certainty in
+    practice (and the subsequent exact verify restores precision). The join
+    is an equi-join on (permutation, min-hash); within a heavy duplicate
+    group every member shares the same min under every permutation, so the
+    bucket IS the group and candidate volume ~= true-pair volume (the pairs
+    listing of a duplicate group is inherently quadratic in group size).
+    """
+    mh = hot_sets.select(
+        "doc_id",
+        F.posexplode(_minhash_col(F.col("hs"))).alias("perm", "mh"),
+    )
+    a, b = mh.alias("a"), mh.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.perm") == F.col("b.perm"))
+            & (F.col("a.mh") == F.col("b.mh"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .distinct()
+    )
+
+
+def sql_rescue_doc_ids(max_df: int, rare_k: int) -> str:
+    """DuckDB mirror of rescue_doc_ids as a CTE body; requires the
+    ``ranked(doc_id, <key>, df, rk)`` CTE from :func:`sql_capped_index` to
+    be in scope."""
+    return (
+        f"SELECT doc_id FROM ranked WHERE df >= 2 GROUP BY doc_id"
+        f" HAVING MAX(df) > {max_df}"
+        f" AND SUM(CASE WHEN df <= {max_df} THEN 1 ELSE 0 END) <= {rare_k}"
+    )
+
+
+def sql_minhash_any_cand(hotsets_rel: str = "hotsets") -> str:
+    """DuckDB mirror of minhash_any_pairs: CTE bodies ``hotmh`` + ``cand2``
+    over ``{hotsets_rel}(doc_id, hs BIGINT[])``."""
+    perm_selects = []
+    for j in range(MINHASH_PERMS):
+        a, b = _perm_coeffs(j)
+        perm_selects.append(
+            f"SELECT doc_id, {j} AS perm,"
+            f" list_min(list_transform(hs, x -> (x * {a} + {b}) % {MINHASH_P}))"
+            f" AS mh FROM {hotsets_rel}"
+        )
+    perms_sql = "\n  UNION ALL\n  ".join(perm_selects)
+    return f"""hotmh AS (
+  {perms_sql}
+), cand2 AS (
+  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+  FROM hotmh a JOIN hotmh b
+    ON a.perm = b.perm AND a.mh = b.mh AND a.doc_id < b.doc_id
+)"""
 
 
 def sql_capped_index(source: str, key: str, max_df: int, rare_k: int) -> str:
@@ -351,10 +457,19 @@ WITH sh0 AS (
   SELECT doc_id, sh, len(sh) AS n_sh FROM sh0 WHERE len(sh) > 0
 ), e AS (
   SELECT doc_id, unnest(sh) AS shingle FROM docs
-), {sql_capped_index("e", "shingle", max_shingle_df, RARE_SHINGLES_PER_DOC)}, cand AS (
-  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
-  FROM capped a JOIN capped b
-    ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+), {sql_capped_index("e", "shingle", max_shingle_df, RARE_SHINGLES_PER_DOC)}, hot AS (
+  {sql_rescue_doc_ids(max_shingle_df, RARE_SHINGLES_PER_DOC)}
+), hotsets AS (
+  SELECT d.doc_id, list_transform(d.sh, s -> {xh.sql_char_hash('s')}) AS hs
+  FROM docs d JOIN hot USING (doc_id)
+), {sql_minhash_any_cand("hotsets")}, cand AS (
+  SELECT DISTINCT doc_a, doc_b FROM (
+    SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+    FROM capped a JOIN capped b
+      ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+    UNION ALL
+    SELECT doc_a, doc_b FROM cand2
+  )
 )""" + _SQL_VERIFY.format(threshold=threshold)
 
 

@@ -604,9 +604,9 @@ DOC_COSINE_DIM = 1024  # hashed token dimensions for the sparse cosine join
 # dims hotter than this are dropped from CANDIDATE GENERATION only; each doc
 # keeps its RARE_DIMS_PER_DOC least-frequent shared (df>=2) dims
 # unconditionally (extras.dedup.capped_index). The floor GUARANTEES pairing
-# for byte-identical docs in heavy groups; near-identical docs usually pair
-# but are not guaranteed to (see capped_index docstring for the exact
-# contract) — raise RARE_DIMS_PER_DOC for stronger heavy-group recall.
+# for byte-identical docs in heavy groups; near-identical docs whose floor
+# picks diverge are covered by the minhash-any-band rescue
+# (extras.dedup.rescue_doc_ids + minhash_any_pairs, round 5).
 MAX_COSINE_DIM_DF = 100
 RARE_DIMS_PER_DOC = 2
 
@@ -660,6 +660,27 @@ def cosine_pairs(
         .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
         .distinct()
     )
+    # Heavy-group recall rescue (round-5): docs whose every shared dim is
+    # hot (df > max_dim_df) lost all their joinable index entries to the df
+    # cap; give them a second candidate source — any-of-16 single-row
+    # minhash bands over their full dim sets. Near-identical docs share
+    # almost all dims (Jaccard ~1), so P(miss) = (1-J)^16 ~ 0; the exact
+    # cosine rescore below restores precision. Candidate volume within a
+    # heavy group equals the true-pair volume (inherently quadratic in
+    # group size — that IS the output).
+    from .dedup import minhash_any_pairs, rescue_doc_ids
+
+    hot_sets = (
+        w.join(
+            rescue_doc_ids(
+                w.select("doc_id", "dim"), "dim", max_dim_df, RARE_DIMS_PER_DOC
+            ),
+            "doc_id",
+        )
+        .groupBy("doc_id")
+        .agg(F.collect_list("dim").alias("hs"))
+    )
+    cand = cand.unionByName(minhash_any_pairs(hot_sets)).distinct()
     wa = w.select(F.col("doc_id").alias("doc_a"), "dim", F.col("w").alias("wa"))
     wb = w.select(F.col("doc_id").alias("doc_b"), "dim", F.col("w").alias("wb"))
     return (
@@ -826,7 +847,11 @@ def sql_cosine_pairs_ctes(
     :func:`cosine_pairs` over ``source(doc_id, text)`` — embed inside a
     WITH clause and select from ``cosp(doc_a, doc_b, cosine)``."""
     from . import xhash as xh
-    from .dedup import sql_capped_index
+    from .dedup import (
+        sql_capped_index,
+        sql_minhash_any_cand,
+        sql_rescue_doc_ids,
+    )
 
     return f"""th AS (
   SELECT doc_id, unnest({xh.sql_token_hashes('text')}) % {DOC_COSINE_DIM} AS dim
@@ -840,9 +865,18 @@ def sql_cosine_pairs_ctes(
   FROM tf JOIN nrm USING (doc_id)
 ), wd AS (
   SELECT doc_id, dim FROM w
-), {sql_capped_index("wd", "dim", max_dim_df, RARE_DIMS_PER_DOC)}, cand AS (
-  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
-  FROM capped a JOIN capped b ON a.dim = b.dim AND a.doc_id < b.doc_id
+), {sql_capped_index("wd", "dim", max_dim_df, RARE_DIMS_PER_DOC)}, hot AS (
+  {sql_rescue_doc_ids(max_dim_df, RARE_DIMS_PER_DOC)}
+), hotsets AS (
+  SELECT doc_id, list(dim) AS hs
+  FROM wd JOIN hot USING (doc_id) GROUP BY doc_id
+), {sql_minhash_any_cand("hotsets")}, cand AS (
+  SELECT DISTINCT doc_a, doc_b FROM (
+    SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+    FROM capped a JOIN capped b ON a.dim = b.dim AND a.doc_id < b.doc_id
+    UNION ALL
+    SELECT doc_a, doc_b FROM cand2
+  )
 ), cosp AS (
   SELECT c.doc_a, c.doc_b, ROUND(SUM(a.w * b.w), 4) AS cosine
   FROM cand c

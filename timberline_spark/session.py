@@ -43,6 +43,16 @@ def get_spark(
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        # AQE coalescing floor. The default floor (1 MB) folds the tiny
+        # post-window shuffle of the synthesized bench input into ~2
+        # partitions, and the ENTIRE regex/JSON parse chain then runs on 2
+        # of 32 cores (measured: parse 1.66s -> 0.84s, kept_rows 2.5s ->
+        # 1.6s at sf0.1 with a 64k floor). Compute-bound stages over small
+        # shuffled data need parallelism that byte-based coalescing can't
+        # see. At 100 TB this floor is irrelevant: partition sizing is
+        # governed by advisoryPartitionSizeInBytes (64 MB) and
+        # parallelismFirst, both untouched.
+        .config("spark.sql.adaptive.coalescePartitions.minPartitionSize", "64k")
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.execution.arrow.maxRecordsPerBatch", "10000")
