@@ -34,6 +34,15 @@ def test_pandas_udf_grok_equals_native(spark):
     assert a.equals(b)
 
 
+def test_log_search_tokenless_query_returns_empty(spark):
+    """ADVICE round 4: a punctuation-only query has no [a-z0-9] tokens —
+    search must return an empty frame, not crash with ZeroDivisionError."""
+    assert queries.search_query_weights("!!! ???") == {}
+    out = queries.q_log_search(spark, SF_TINY, query="!!! ???")
+    assert out.count() == 0
+    assert "score" in out.columns
+
+
 def test_fuzzy_buckets_empty_input(spark):
     """Zero kept rows (e.g. a date range with no logs) must yield an empty
     fuzzy bucket table with the right schema, not a crash in the CC loop."""

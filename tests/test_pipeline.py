@@ -150,6 +150,39 @@ def test_dedup_rollup_equals_direct(spark):
     assert direct.equals(rolled)
 
 
+def test_dedup_rollup_audit_parity(spark):
+    """VERDICT round 4 demand #6 / ADVICE: dedup_rollup re-hashes dedup_key,
+    so it must run the same collision audit as dedup_turns — sentinel column
+    present, zero on this corpus, result otherwise identical, and any
+    per-date verdict from the input is OR-folded in (both key modes)."""
+    from timberline_spark import aggregate as agg
+    from timberline_spark import route
+    from timberline_spark.enrich import enrich_turns
+    from timberline_spark.parse import parse_turns
+    from timberline_spark.pipeline import _p_date
+    from timberline_spark.transcripts import load_transcripts
+
+    kept = route.kept_turns(
+        route.classify_turns(
+            enrich_turns(spark, parse_turns(load_transcripts(spark, SF_TINY)))
+        )
+    ).withColumn("p_date", _p_date("effective_ts_ms"))
+    dated = agg.dedup_turns(kept, extra_keys=("p_date",), audit=True).cache()
+    plain = normalize(agg.dedup_rollup(dated.drop("key_collision")).toPandas())
+    for hash_key in (True, False):
+        audited = agg.dedup_rollup(dated, hash_key=hash_key, audit=True)
+        assert "key_collision" in audited.columns
+        assert audited.filter("key_collision").count() == 0
+        assert normalize(audited.drop("key_collision").toPandas()).equals(plain)
+    # a per-date collision verdict propagates through the rollup
+    poisoned = dated.withColumn("key_collision", F.lit(True))
+    assert (
+        agg.dedup_rollup(poisoned, audit=True).filter("NOT key_collision").count()
+        == 0
+    )
+    dated.unpersist()
+
+
 def test_dedup_hash_key_escape_hatch(spark):
     """DEDUP_HASH_KEY contract: the exact-string-key path produces output
     identical to the default hashed-key path (no collisions in this corpus),
@@ -232,8 +265,58 @@ def test_dedup_hash_key_false_pipeline_runs(spark, monkeypatch):
 def test_collision_metric_written(spark, outdirs):
     full_dir, _ = outdirs
     metrics = spark.read.parquet(f"{full_dir}/_metrics")
-    rows = metrics.filter(F.col("stage") == "dedup_hash_collisions").collect()
-    assert rows and all(r.rows_out == 0 for r in rows)
+    for stage in ("dedup_hash_collisions", "dedup_rollup_hash_collisions"):
+        rows = metrics.filter(F.col("stage") == stage).collect()
+        assert rows and all(r.rows_out == 0 for r in rows), stage
+
+
+def test_fuzzy_buckets_flag_merges_in_analysis_results(spark):
+    """VERDICT round 4 demand #4: with --fuzzy-buckets, the 1-char-apart
+    near-miss fixture lands in ONE cluster in analysis_results (the daily
+    report a user actually reads), the merged global table is written next
+    to the exact one, and top_issues/summary derive from the merged
+    clustering. Default (flag off) keeps the exact behavior."""
+    msg_a = ("connection timeout contacting upstream gateway exhausted"
+             " retries while handling request alpha")
+    msg_b = msg_a[:-1] + "b"  # 1 char apart -> different exact fingerprints
+    rows = [
+        ("c-1", 0, "user", f"2024-01-05 10:00:00 ERROR [svc-1] {msg_a}", "", "2024-01-05 10:00:00"),
+        ("c-2", 1, "user", f"2024-01-05 10:00:01 ERROR [svc-2] {msg_b}", "", "2024-01-05 10:00:01"),
+    ]
+    tr = spark.createDataFrame(
+        rows,
+        "conv_id string, turn_idx int, role string, text string,"
+        " tool string, ts_s string",
+    ).withColumn("ts", F.col("ts_s").cast("timestamp")).drop("ts_s")
+    in_dir = tempfile.mkdtemp(prefix="tl_fz_in_")
+    out_f = tempfile.mkdtemp(prefix="tl_fz_on_")
+    out_x = tempfile.mkdtemp(prefix="tl_fz_off_")
+    try:
+        tr.coalesce(1).write.mode("overwrite").parquet(f"{in_dir}/transcripts")
+        run_pipeline(spark, "", out_x, run_id="fz", input_table=f"{in_dir}/transcripts")
+        run_pipeline(spark, "", out_f, run_id="fz", input_table=f"{in_dir}/transcripts",
+                     fuzzy_buckets=True)
+        # flag off: two exact clusters, no fuzzy table
+        import os
+        assert spark.read.parquet(f"{out_x}/analysis_results").count() == 2
+        assert not os.path.isdir(f"{out_x}/report_buckets_fuzzy")
+        # flag on: ONE merged cluster in the dated results, with lineage
+        res = spark.read.parquet(f"{out_f}/analysis_results").collect()
+        assert len(res) == 1
+        assert res[0].n_templates == 2 and res[0].total_log_count == 2
+        assert str(res[0].analysis_date) == "2024-01-05"
+        # merged global table written next to the exact one
+        assert spark.read.parquet(f"{out_f}/report_buckets").count() == 2
+        fz = spark.read.parquet(f"{out_f}/report_buckets_fuzzy").collect()
+        assert len(fz) == 1 and fz[0].n_templates == 2
+        # the report derives from the merged clustering
+        assert spark.read.parquet(f"{out_f}/top_issues").count() == 1
+        summ = spark.read.parquet(f"{out_f}/report_summary").collect()[0]
+        assert summ.clusters_found == 1
+    finally:
+        shutil.rmtree(in_dir, ignore_errors=True)
+        shutil.rmtree(out_f, ignore_errors=True)
+        shutil.rmtree(out_x, ignore_errors=True)
 
 
 def test_files_per_date_scales_with_input():

@@ -153,13 +153,24 @@ def _unpack_rep():
     ]
 
 
-def dedup_rollup(dated: DataFrame, hash_key: bool | None = None) -> DataFrame:
+def dedup_rollup(
+    dated: DataFrame, hash_key: bool | None = None, audit: bool = False
+) -> DataFrame:
     """Global dedup derived from a per-date dedup frame WITHOUT re-shuffling
     the raw rows: min(rep)/sum(count)/min/max are associative, and a date
     group's rep carries first_ts_ms == its effective_ts_ms (the min-struct's
     leading field), so re-packing the struct reproduces the exact global
     representative. Input is one row per (date, message) — orders of
-    magnitude smaller than the kept stream."""
+    magnitude smaller than the kept stream.
+
+    ``audit=True`` mirrors the :func:`dedup_turns` collision sentinel at
+    THIS stage's hashed groupBy (ADVICE round 4: a cross-date 64-bit
+    collision introduced here was invisible to the per-date audit): the
+    same independent second hash of the incoming ``dedup_key`` strings is
+    min/max-aggregated per rollup group, and any per-date ``key_collision``
+    verdict present on the input is OR-folded in, so the output column
+    covers both hashed-group stages.
+    """
     rep = F.struct(
         F.col("first_ts_ms").alias("effective_ts_ms"),
         F.col("conv_id"),
@@ -176,13 +187,33 @@ def dedup_rollup(dated: DataFrame, hash_key: bool | None = None) -> DataFrame:
     if hash_key is None:
         hash_key = DEDUP_HASH_KEY
     key = F.xxhash64(F.col("dedup_key")) if hash_key else F.col("dedup_key")
-    g = dated.groupBy(key.alias("dedup_h")).agg(
+    aggs = [
         F.min(rep).alias("rep"),
         F.sum("duplicate_count").alias("duplicate_count"),
         F.min("first_ts_ms").alias("first_ts_ms"),
         F.max("last_ts_ms").alias("last_ts_ms"),
-    )
-    return g.select(*_unpack_rep())
+    ]
+    extra_cols = []
+    has_inherited = "key_collision" in dated.columns
+    if audit:
+        coll = None
+        if hash_key:
+            # same independent-byte-stream construction as dedup_turns
+            # (concat, NOT multi-arg xxhash64 — that chains seeds)
+            h2 = F.xxhash64(F.concat(F.col("dedup_key"), F.lit("#audit")))
+            aggs += [F.min(h2).alias("_h2min"), F.max(h2).alias("_h2max")]
+            coll = F.col("_h2min") != F.col("_h2max")
+        if has_inherited:
+            aggs.append(
+                F.max(F.col("key_collision").cast("int")).alias("_inherited")
+            )
+            inherited = F.col("_inherited") == 1
+            coll = inherited if coll is None else (coll | inherited)
+        extra_cols = [
+            (coll if coll is not None else F.lit(False)).alias("key_collision")
+        ]
+    g = dated.groupBy(key.alias("dedup_h")).agg(*aggs)
+    return g.select(*_unpack_rep(), *extra_cols)
 
 
 def dedup_examples(kept: DataFrame, n_examples: int = 3) -> DataFrame:
@@ -314,37 +345,69 @@ def report_buckets_fuzzy(
     templates merged into the cluster); fingerprint carries the component
     label (the lexicographically-min member fingerprint).
     """
-    from .extras.similarity import connected_components, cosine_pairs
+    from .extras.similarity import reliable_checkpoint
 
     # the dedup frame feeds BOTH the template graph and the final
     # aggregation; persist it so the upstream parse+dedup chain runs once,
     # and checkpoint the (tiny) output so the cache can be dropped before
     # returning — the function leaks no storage
     deduped = deduped.persist()
+    comp = fuzzy_component_map(deduped, threshold, max_iter)
+    out = reliable_checkpoint(report_buckets_merged(deduped, comp))
+    deduped.unpersist()
+    return out
+
+
+def fuzzy_component_map(
+    deduped: DataFrame,
+    threshold: float = FUZZY_COSINE_THRESHOLD,
+    max_iter: int = 20,
+) -> DataFrame:
+    """(fingerprint, component) map merging token-cosine-similar templates
+    via connected components — the reusable half of
+    :func:`report_buckets_fuzzy`. Built over DISTINCT fingerprints only;
+    the returned frame is component-labeled by the lexicographically-min
+    member fingerprint and is tiny (cluster count, not row count). The
+    pipeline computes it once and applies it to both the dated and the
+    global bucket aggregations."""
+    from .extras.similarity import connected_components, cosine_pairs
+
     fp = cluster_fingerprint(F.col("message"), F.col("level"))
-    df = deduped.withColumn("fingerprint", fp).withColumn(
-        "level_priority", _level_priority(F.col("level"))
-    )
-    fps = df.select(F.col("fingerprint").alias("doc_id")).distinct()
+    fps = deduped.select(fp.alias("doc_id")).distinct()
     pairs = cosine_pairs(
         fps.withColumn("text", F.col("doc_id")), threshold
     ).select("doc_a", "doc_b")
-    comp = connected_components(fps, pairs, max_iter).select(
+    return connected_components(fps, pairs, max_iter).select(
         F.col("doc_id").alias("fingerprint"), "component"
     )
-    merged = df.join(F.broadcast(comp), "fingerprint")
-    g = merged.groupBy("component").agg(
+
+
+def report_buckets_merged(
+    deduped: DataFrame, comp: DataFrame, extra_keys: tuple[str, ...] = ()
+) -> DataFrame:
+    """Bucket aggregation grouped by fuzzy component instead of exact
+    fingerprint: join the (tiny) component map onto the deduped frame, then
+    ONE hash-agg shuffle keyed by (*extra_keys, component) — the same scale
+    shape as :func:`report_buckets`. No explicit broadcast hint on the map
+    join (ADVICE round 4): comp is expected tiny, but forcing broadcast on
+    an unexpectedly large distinct-template population risks OOM — AQE
+    converts the join to broadcast at runtime when the measured size
+    allows, and degrades to shuffle when it doesn't."""
+    df = deduped.withColumn(
+        "fingerprint", cluster_fingerprint(F.col("message"), F.col("level"))
+    ).withColumn("level_priority", _level_priority(F.col("level")))
+    merged = df.join(comp, "fingerprint")
+    g = merged.groupBy(*extra_keys, "component").agg(
         F.countDistinct("fingerprint").alias("n_templates"), *_bucket_aggs()
     )
-    out = g.select(
+    return g.select(
+        *extra_keys,
         F.col("component").alias("fingerprint"),
         "n_templates",
         *_BUCKET_OUT,
         F.col("rep.level").alias("rep_level"),
         _truncate_message(F.col("rep.message")).alias("representative_message"),
-    ).localCheckpoint(eager=True)
-    deduped.unpersist()
-    return out
+    )
 
 
 def _truncate_message(c, limit: int = 200):

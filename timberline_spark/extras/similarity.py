@@ -713,6 +713,23 @@ def doc_cosine_neardup(
 CC_CHECKPOINT_EVERY = 1
 
 
+def reliable_checkpoint(frame: DataFrame) -> DataFrame:
+    """Eager lineage truncation with cluster-appropriate durability.
+
+    ``localCheckpoint`` stores blocks UNREPLICATED on executors: on a real
+    cluster, losing an executor (failure, dynamic allocation scale-down)
+    makes the truncated frame unrecoverable (ADVICE round 4). When the
+    session has a checkpoint dir configured
+    (``spark.sparkContext.setCheckpointDir(...)`` — on a real deployment a
+    durable FS path), use the RELIABLE checkpoint instead; fall back to
+    localCheckpoint in local mode where executor loss means the app is
+    gone anyway."""
+    sc = frame.sparkSession.sparkContext
+    if sc.getCheckpointDir() is not None:
+        return frame.checkpoint(eager=True)
+    return frame.localCheckpoint(eager=True)
+
+
 def connected_components(
     ids: DataFrame, pairs: DataFrame, max_iter: int = 20
 ) -> DataFrame:
@@ -728,15 +745,18 @@ def connected_components(
     second equi-join on the label table itself). The shortcut step halves
     the remaining propagation distance each round, so even a pathological
     chain converges in O(log diameter) rounds, not O(diameter). Every
-    CC_CHECKPOINT_EVERY rounds the label frame is localCheckpoint-ed so
-    the plan depth stays bounded regardless of round count. The loop runs
-    on the driver but touches only one aggregate scalar per round (a count
-    of label changes, monotone information) to detect convergence — no
-    per-row driver data.
+    CC_CHECKPOINT_EVERY rounds the label frame is checkpointed
+    (:func:`reliable_checkpoint`: durable when a checkpoint dir is set,
+    localCheckpoint in local mode) so the plan depth stays bounded
+    regardless of round count. Convergence is detected EXACTLY: one
+    equi-join of the new vs old label frames (both materialized) counting
+    changed labels — zero changes is the fixpoint (min-label is monotone).
+    The loop runs on the driver but touches only that one scalar per round
+    — no per-row driver data.
 
     If max_iter is exhausted before the fixpoint, the labels returned are
     an UPPER approximation (some components not yet merged) and a
-    RuntimeWarning is raised. The returned DataFrame is localCheckpoint-ed
+    RuntimeWarning is raised. The returned DataFrame is checkpointed
     (materialized, lineage-free) and NOT persisted — callers need no
     unpersist.
     """
@@ -751,21 +771,6 @@ def connected_components(
     )
     labels = ids.select("doc_id", F.col("doc_id").alias("component")).persist()
 
-    # convergence scalar valid for ANY id type: a pair of bounded checksums
-    # of the label assignment (sum of the 64-bit label hash mod two primes —
-    # each summand < 2^20, so the sums stay far under 2^63 for up to ~2^42
-    # rows; ANSI-safe). Labels change monotonically (min-label), so the
-    # assignment changes iff some label changed; a simultaneous cancellation
-    # under BOTH primes (~1e-12 per round) is the only false-converge risk.
-    def _state(frame):
-        h = F.xxhash64(F.col("component").cast("string"))
-        row = frame.agg(
-            F.sum(F.pmod(h, F.lit(1_000_003))),
-            F.sum(F.pmod(h, F.lit(999_983))),
-        ).collect()[0]
-        return (row[0], row[1])
-
-    prev_sum = _state(labels)
     converged = False
     for i in range(max_iter):
         prop = (
@@ -784,16 +789,24 @@ def connected_components(
         )
         if (i + 1) % CC_CHECKPOINT_EVERY == 0:
             # truncate lineage: without this, round k carries a 2k-join plan
-            new_labels = new_labels.localCheckpoint(eager=True)
+            new_labels = reliable_checkpoint(new_labels)
         else:
             new_labels = new_labels.persist()
-        new_sum = _state(new_labels)
+        # exact convergence (ADVICE round 4 — replaces a probabilistic
+        # checksum pair): count changed labels with one equi-join on the
+        # two materialized frames; 0 changes = fixpoint (min-label is
+        # monotone, so labels change iff the assignment changed)
+        n_changed = (
+            new_labels.alias("n")
+            .join(labels.alias("o"), "doc_id")
+            .filter(F.col("n.component") != F.col("o.component"))
+            .count()
+        )
         labels.unpersist()
         labels = new_labels
-        if new_sum == prev_sum:  # min-label is monotone; fixpoint reached
+        if n_changed == 0:
             converged = True
             break
-        prev_sum = new_sum
     if not converged:
         warnings.warn(
             f"connected_components: no fixpoint after {max_iter} rounds; "
@@ -801,7 +814,7 @@ def connected_components(
             RuntimeWarning,
             stacklevel=2,
         )
-    out = labels.select("doc_id", "component").localCheckpoint(eager=True)
+    out = reliable_checkpoint(labels.select("doc_id", "component"))
     labels.unpersist()
     edges.unpersist()
     return out

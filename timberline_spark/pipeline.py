@@ -244,6 +244,7 @@ def run_pipeline(
     input_table: str | None = None,
     webhook_url: str | None = None,
     webhook_spool: str | None = None,
+    fuzzy_buckets: bool = False,
 ) -> RunResult:
     """Run (or resume) the full pipeline.
 
@@ -251,6 +252,14 @@ def run_pipeline(
     run_id (per the _lineage table) are skipped — that is the
     resume-from-checkpoint behavior. max_partitions limits work per
     invocation (used by tests to simulate an interrupted run).
+
+    fuzzy_buckets=True additionally merges near-miss clusters (the
+    reference's DBSCAN analog, engine.py:104-106: clusters feed the report,
+    not a side query): the fingerprint->component map is computed ONCE over
+    distinct templates, ``analysis_results``/``analysis_summary`` group by
+    merged component, the merged global table is written next to the exact
+    one as ``report_buckets_fuzzy``, and top_issues + the report summary
+    derive from the merged clustering.
     """
     t0 = time.time()
     # resume correctness depends on dynamic partition overwrite: with the
@@ -452,9 +461,24 @@ def run_pipeline(
         # A second run touches only the dates present in ITS input; other
         # runs' dates survive, and re-running a date is idempotent (all
         # transforms deterministic).
-        scored_d = agg.score_clusters(
-            agg.report_buckets(deduped_d, extra_keys=("p_date",))
-        ).withColumnRenamed("p_date", "analysis_date")
+        # fuzzy mode: one component map over DISTINCT templates, applied
+        # to the dated AND global aggregations (scale shape: the graph is
+        # O(cluster count); each aggregation stays one hash-agg shuffle)
+        comp = (
+            agg.fuzzy_component_map(deduped_d.drop("key_collision"))
+            if fuzzy_buckets
+            else None
+        )
+        dated_buckets = (
+            agg.report_buckets_merged(
+                deduped_d.drop("key_collision"), comp, extra_keys=("p_date",)
+            )
+            if fuzzy_buckets
+            else agg.report_buckets(deduped_d, extra_keys=("p_date",))
+        )
+        scored_d = agg.score_clusters(dated_buckets).withColumnRenamed(
+            "p_date", "analysis_date"
+        )
 
         def _write_dated_results():
             scored_d.withColumn("run_id", F.lit(run_id)).write.mode(
@@ -475,15 +499,32 @@ def run_pipeline(
             ]
             # the global chain proceeds concurrently on this thread (FAIR
             # scheduler interleaves the small jobs); inputs are the cached
-            # dated frame, so nothing recomputes the wide shuffle
-            deduped = agg.dedup_rollup(deduped_d)
+            # dated frame, so nothing recomputes the wide shuffle. The
+            # rollup re-hashes dedup_key, so it runs its OWN collision
+            # audit (a cross-date collision here is invisible to the
+            # per-date sentinel); the count is one tiny job over the
+            # cached dated frame.
+            deduped = agg.dedup_rollup(deduped_d, audit=True)
+            n_rollup_collisions = deduped.filter(F.col("key_collision")).count()
+            deduped = deduped.drop("key_collision")
             scored = agg.score_clusters(agg.report_buckets(deduped)).persist()
             scored.withColumn("run_id", F.lit(run_id)).write.mode(
                 "overwrite"
             ).parquet(f"{out_dir}/report_buckets")
-            top = agg.top_issues(scored)
+            basis = scored
+            if fuzzy_buckets:
+                # merged global table written NEXT TO the exact one; the
+                # report (top issues + summary) derives from the merged
+                # clustering, like the reference's DBSCAN-fed report
+                basis = agg.score_clusters(
+                    agg.report_buckets_merged(deduped, comp)
+                ).persist()
+                basis.withColumn("run_id", F.lit(run_id)).write.mode(
+                    "overwrite"
+                ).parquet(f"{out_dir}/report_buckets_fuzzy")
+            top = agg.top_issues(basis)
             top_rows = top.collect()  # <= TOP_ISSUES_N rows by construction
-            summary_df = agg.run_summary(scored)
+            summary_df = agg.run_summary(basis)
             summary_row = summary_df.collect()[0]
             # tiny tables from already-collected rows: driver-written, no job
             run_field = T.StructField("run_id", T.StringType())
@@ -501,9 +542,14 @@ def run_pipeline(
             )
             for f in dated_futs:
                 f.result()
+        if fuzzy_buckets:
+            basis.unpersist()
         scored.unpersist()
         deduped_d.unpersist()
-        return top_rows, summary_row, n_collisions, time.time() - t_s
+        return (
+            top_rows, summary_row, n_collisions, n_rollup_collisions,
+            time.time() - t_s,
+        )
 
     t_stage = time.time()
     with ThreadPoolExecutor(len(sink_builders) + 1) as ex:
@@ -514,7 +560,9 @@ def run_pipeline(
             n = int(flag_counts[sink])
             counts[sink] = n
             metrics_rows.append((run_id, sink, "*", None, n, None, el))
-        top_rows, summary_row, n_collisions, _ = buckets_fut.result()
+        top_rows, summary_row, n_collisions, n_rollup_collisions, _ = (
+            buckets_fut.result()
+        )
     counts["report_buckets"] = int(summary_row["clusters_found"])
     counts["top_issues"] = len(top_rows)
     counts["report_summary"] = 1
@@ -526,6 +574,14 @@ def run_pipeline(
     # aggregate.DEDUP_HASH_KEY = False for exact string keys)
     metrics_rows.append(
         (run_id, "dedup_hash_collisions", "*", None, int(n_collisions), None, None)
+    )
+    # same sentinel for the rollup's OWN hashed groupBy (covers cross-date
+    # collisions the per-date audit cannot see; includes inherited verdicts)
+    metrics_rows.append(
+        (
+            run_id, "dedup_rollup_hash_collisions", "*", None,
+            int(n_rollup_collisions), None, None,
+        )
     )
     _append(spark, out_dir, "_metrics", metrics_rows, METRICS_SCHEMA)
 
@@ -631,6 +687,11 @@ def main(argv=None):
         help="spool dir for undeliverable webhook payloads",
     )
     ap.add_argument(
+        "--fuzzy-buckets", action="store_true",
+        help="merge near-miss clusters (DBSCAN analog) into"
+        " analysis_results/top_issues/summary; writes report_buckets_fuzzy",
+    )
+    ap.add_argument(
         "--iceberg-table", default=None,
         help="execute the S5 Iceberg DDL bootstrap for this catalog table"
         " before running (requires iceberg-spark-runtime on the classpath)",
@@ -650,6 +711,7 @@ def main(argv=None):
         input_table=args.input_table,
         webhook_url=args.webhook_url,
         webhook_spool=args.webhook_spool,
+        fuzzy_buckets=args.fuzzy_buckets,
     )
     print(
         json.dumps(

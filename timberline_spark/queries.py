@@ -255,6 +255,11 @@ def search_query_weights(query: str):
     from .extras.similarity import DOC_COSINE_DIM
 
     cnt = collections.Counter(h % DOC_COSINE_DIM for h in xh.py_token_hashes(query))
+    if not cnt:
+        # tokenless query (punctuation-only / empty): no dims to join on —
+        # the search legitimately matches nothing (ADVICE round 4: this
+        # used to raise ZeroDivisionError instead)
+        return {}
     qn = math.sqrt(sum(c * c for c in cnt.values()))
     return {int(d): c / qn for d, c in cnt.items()}
 
