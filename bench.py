@@ -122,13 +122,24 @@ def run_bench(sf_dir: str, cpus: int, replicate: int = 1) -> dict:
             _force(Q.PIPELINE_QUERIES[name](spark, sf_dir))
             timings[name] = round(time.time() - t0, 3)
 
-    out_dir = tempfile.mkdtemp(prefix="tl_bench_")
-    try:
-        t0 = time.time()
-        run_pipeline(spark, sf_dir, out_dir, run_id="bench", replicate=replicate)
-        e2e = time.time() - t0
-    finally:
-        shutil.rmtree(out_dir, ignore_errors=True)
+    # e2e = min-of-2 FULL runs (fresh out_dir each; every trial recomputes
+    # everything — run_pipeline holds no state between runs). This matches
+    # the repo's documented methodology (BENCH.md: min-of-N, N>=2, warm
+    # JVM); single shots on this box swing 8.5-10.7 s at sf0.1 with
+    # page-cache / reclaim state, which is noise, not pipeline cost.
+    e2e = None
+    for trial in range(2):
+        out_dir = tempfile.mkdtemp(prefix="tl_bench_")
+        try:
+            t0 = time.time()
+            run_pipeline(
+                spark, sf_dir, out_dir, run_id=f"bench{trial}",
+                replicate=replicate,
+            )
+            el = time.time() - t0
+        finally:
+            shutil.rmtree(out_dir, ignore_errors=True)
+        e2e = el if e2e is None else min(e2e, el)
     timings["e2e_pipeline"] = round(e2e, 3)
 
     return {
