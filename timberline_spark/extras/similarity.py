@@ -478,12 +478,15 @@ def emb_knn_ivf(
     k: int = 5,
     n_queries: int = 10,
     nprobe: int = IVF_NPROBE,
+    init: str = "lowid",
 ) -> DataFrame:
     """IVF ANN top-k: probe the nprobe nearest k-means cells per query,
     exact-cosine rescore the cell members, rank. Recall < 1.0 by
     construction (bounded probes) — measured against emb_knn_brute in
-    tests. Same output schema as the other knn operators."""
-    centroids = kmeans_centroids(spark, sf_dir)
+    tests. Same output schema as the other knn operators. ``init``
+    selects the quantizer seeding (see :func:`kmeans_centroids`);
+    the oracle-checked driver query stays on ``lowid``."""
+    centroids = kmeans_centroids(spark, sf_dir, init=init)
     emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
     assigned = emb.select(
         "vec_id",
