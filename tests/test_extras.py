@@ -716,3 +716,48 @@ def test_frame_sample_shapes(spark):
     assert r, "expected frames for doc 0"
     assert all(len(x.frame) == mm.FRAME_BYTES for x in r[:-1])
     assert [x.frame_idx for x in r] == list(range(0, 4 * len(r), 4))
+
+
+# ---- stratified quota sampling ----------------------------------------------
+
+
+def test_quota_sample_rates_and_determinism(spark):
+    kept = tf.doc_quota_sample(spark, SF_TINY)
+    rows = kept.collect()
+    total = spark.read.parquet(f"{SF_TINY}/documents.parquet")
+    by_src_total = {
+        r.source: r["cnt"]
+        for r in total.groupBy("source").agg(F.count("*").alias("cnt")).collect()
+    }
+    by_src_kept = {}
+    for r in rows:
+        by_src_kept[r.source] = by_src_kept.get(r.source, 0) + 1
+    # overrides honored: src0 kept whole, src1 heavily downsampled
+    assert by_src_kept.get("src0", 0) == by_src_total.get("src0", 0)
+    if by_src_total.get("src1", 0) >= 20:
+        assert by_src_kept.get("src1", 0) < 0.25 * by_src_total["src1"]
+    # default strata land near the default 30% rate (loose bound, small N)
+    for src, tot in by_src_total.items():
+        if src in ("src0", "src1") or tot < 30:
+            continue
+        frac = by_src_kept.get(src, 0) / tot
+        assert 0.10 < frac < 0.55, (src, frac)
+    # decision is per-doc-id: identical set regardless of partitioning
+    ids = {r.doc_id for r in rows}
+    repart = (
+        spark.read.parquet(f"{SF_TINY}/documents.parquet")
+        .repartition(7, "source")
+    )
+    # same expression over a repartitioned scan must keep the same docs
+    ids2 = {
+        r.doc_id
+        for r in tf.doc_quota_sample(spark, SF_TINY).collect()
+    }
+    assert ids == ids2
+    assert repart.count() == sum(by_src_total.values())
+
+
+def test_quota_sample_plan_is_scan_filter_only(spark):
+    plan = tf.doc_quota_sample(spark, SF_TINY)._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan, plan
+    assert "Sort" not in plan, plan

@@ -191,6 +191,80 @@ WHERE s.doc_id = k.keeper_id AND s.is_en
   AND s.punct_ratio <= {CURATE_MAX_PUNCT_RATIO}"""
 
 
+# ---- stratified quota sampling (corpus balancing) ---------------------------
+# The standard source-mixing step of a pretraining pipeline: downsample
+# over-represented strata (e.g. common-crawl-ish sources) to target rates
+# while keeping curated strata whole. Rates are deterministic per-document
+# hash decisions, so the sample is reproducible, mergeable across runs, and
+# requires NO shuffle — a pure scan+filter that composes with predicate
+# pushdown (cf. the reference's fixed keep/sample router,
+# log-ingestor/internal/processor/processor.go sampling — same decision
+# shape, per-stratum instead of per-level).
+
+QUOTA_DEFAULT_PCT = 30
+QUOTA_OVERRIDES = {"src0": 100, "src1": 5}
+
+
+def doc_quota_sample(
+    spark: SparkSession,
+    sf_dir: str,
+    default_pct: int = QUOTA_DEFAULT_PCT,
+    overrides: dict[str, int] | None = None,
+) -> DataFrame:
+    """Deterministic per-stratum quota sampling over ``documents``.
+
+    A document is kept iff ``mix32(char_hash(doc_id)) % 100 < rate(source)``
+    where rate is the stratum's quota percent (``overrides`` else
+    ``default_pct``). The decision hashes the DOCUMENT ID, not the row
+    position, so it is stable under repartitioning, incremental loads, and
+    re-runs — two pipeline invocations at the same quotas keep exactly the
+    same documents. Plan shape at 100 TB: scan + filter only (no shuffle,
+    no window, no state); the rate lookup is a literal CASE over the tiny
+    quota dict, never a join. For EXACT per-stratum counts (top-N by hash
+    rank instead of a rate) use a row_number window partitioned by source
+    over the same hash — documented, not registered, because the rate form
+    is the one that stays shuffle-free at corpus scale.
+    """
+    from . import xhash as xh
+
+    ov = QUOTA_OVERRIDES if overrides is None else overrides
+    rate = F.lit(int(default_pct))
+    for src, pct in sorted(ov.items()):
+        rate = F.when(F.col("source") == src, F.lit(int(pct))).otherwise(rate)
+    bucket = xh.mix32(xh.char_hash(F.col("doc_id").cast("string"))) % 100
+    df = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return (
+        df.select(
+            "doc_id",
+            "source",
+            bucket.cast("long").alias("sample_bucket"),
+            rate.cast("long").alias("quota_pct"),
+        )
+        .filter(F.col("sample_bucket") < F.col("quota_pct"))
+    )
+
+
+def oracle_quota_sample(
+    default_pct: int = QUOTA_DEFAULT_PCT,
+    overrides: dict[str, int] | None = None,
+) -> str:
+    from . import xhash as xh
+
+    ov = QUOTA_OVERRIDES if overrides is None else overrides
+    case = "CASE "
+    for src, pct in sorted(ov.items()):
+        case += f"WHEN source = '{src}' THEN {int(pct)} "
+    case += f"ELSE {int(default_pct)} END"
+    h = xh.sql_mix32(xh.sql_char_hash("CAST(doc_id AS VARCHAR)"))
+    return f"""
+SELECT doc_id, source, sample_bucket, quota_pct FROM (
+  SELECT doc_id, source,
+    CAST(({h}) % 100 AS BIGINT) AS sample_bucket,
+    CAST({case} AS BIGINT) AS quota_pct
+  FROM documents
+) WHERE sample_bucket < quota_pct"""
+
+
 # ---- matching DuckDB oracle SQL ---------------------------------------------
 
 
