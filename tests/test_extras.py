@@ -761,3 +761,55 @@ def test_quota_sample_plan_is_scan_filter_only(spark):
     plan = tf.doc_quota_sample(spark, SF_TINY)._jdf.queryExecution().executedPlan().toString()
     assert "Exchange" not in plan, plan
     assert "Sort" not in plan, plan
+
+
+def test_quota_topn_exact_counts_and_subset_stability(spark):
+    out = tf.doc_quota_topn(spark, SF_TINY, n=7)
+    by_src = {
+        r.source: r["cnt"]
+        for r in out.groupBy("source").agg(F.count("*").alias("cnt")).collect()
+    }
+    totals = {
+        r.source: r["cnt"]
+        for r in spark.read.parquet(f"{SF_TINY}/documents.parquet")
+        .groupBy("source").agg(F.count("*").alias("cnt")).collect()
+    }
+    for src, tot in totals.items():
+        assert by_src.get(src, 0) == min(7, tot), (src, by_src.get(src), tot)
+    # shrinking n yields a strict prefix of the larger sample (mergeable)
+    small = {(r.doc_id) for r in tf.doc_quota_topn(spark, SF_TINY, n=3).collect()}
+    large = {(r.doc_id) for r in out.collect()}
+    assert small <= large
+
+
+def test_repetition_signals_order_crafted_docs(spark, tmp_path):
+    import pandas as pd
+
+    p = str(tmp_path / "documents.parquet")
+    pd.DataFrame(
+        {
+            "doc_id": [0, 1, 2, 3],
+            "text": [
+                "spam ham " * 30,            # one bigram dominates
+                "the quick brown fox jumps over a lazy dog near the riverbank",
+                "x",                          # 1 token: no bigrams
+                "",                           # 0 tokens
+            ],
+            "lang": ["en"] * 4,
+            "source": ["s"] * 4,
+            "n_chars": [0] * 4,
+        }
+    ).to_parquet(p)
+    rows = {r.doc_id: r for r in tf.doc_repetition(spark, str(tmp_path)).collect()}
+    assert rows[0].top_bigram_frac > 0.4 > (rows[1].top_bigram_frac or 0)
+    assert rows[0].dup_token_frac > 0.9 > (rows[1].dup_token_frac or 0)
+    assert rows[2].n_bigrams == 0 and rows[2].top_bigram_frac is None
+    assert rows[3].n_tokens == 0 and rows[3].dup_token_frac is None
+    # "spam ham spam ham ..." of 60 tokens: 59 bigrams, "spam ham" x30,
+    # "ham spam" x29 -> modal count 30
+    assert rows[0].top_bigram_count == 30 and rows[0].n_bigrams == 59
+
+
+def test_repetition_plan_is_scan_only(spark):
+    plan = tf.doc_repetition(spark, SF_TINY)._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan, plan

@@ -265,6 +265,155 @@ SELECT doc_id, source, sample_bucket, quota_pct FROM (
 ) WHERE sample_bucket < quota_pct"""
 
 
+# ---- exact per-stratum top-N sampling ---------------------------------------
+
+QUOTA_TOPN_PER_SOURCE = 40
+
+
+def doc_quota_topn(
+    spark: SparkSession, sf_dir: str, n: int = QUOTA_TOPN_PER_SOURCE
+) -> DataFrame:
+    """EXACT per-stratum sample counts: the window twin of
+    :func:`doc_quota_sample`.
+
+    Ranks documents within each source by the same deterministic doc-id
+    hash (ties broken by doc_id) and keeps the first ``n`` — so the sample
+    is still reproducible and mergeable, but the per-stratum count is
+    exactly ``min(n, |stratum|)`` instead of a binomial around a rate.
+
+    Scale shape: ONE shuffle keyed by source plus a per-stratum sort — at
+    100 TB a single giant stratum makes the sort the bottleneck, so prefer
+    the rate form (shuffle-free) and use this only when exact counts are a
+    hard requirement; a two-pass variant (approx hash-quantile pre-filter
+    to ~n survivors per stratum, then exact rank on the survivors) keeps
+    the sort bounded and is the documented scale path.
+    """
+    from pyspark.sql import Window
+
+    from . import xhash as xh
+
+    h = xh.mix32(xh.char_hash(F.col("doc_id").cast("string")))
+    w = Window.partitionBy("source").orderBy(h.asc(), F.col("doc_id").asc())
+    df = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return (
+        df.select("doc_id", "source", h.cast("long").alias("hash_rank"))
+        .withColumn("sample_rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("sample_rank") <= n)
+        .select("doc_id", "source", "hash_rank", "sample_rank")
+    )
+
+
+def oracle_quota_topn(n: int = QUOTA_TOPN_PER_SOURCE) -> str:
+    from . import xhash as xh
+
+    h = xh.sql_mix32(xh.sql_char_hash("CAST(doc_id AS VARCHAR)"))
+    return f"""
+SELECT doc_id, source, hash_rank, sample_rank FROM (
+  SELECT doc_id, source, CAST(({h}) AS BIGINT) AS hash_rank,
+    CAST(ROW_NUMBER() OVER (
+      PARTITION BY source ORDER BY ({h}) ASC, doc_id ASC
+    ) AS BIGINT) AS sample_rank
+  FROM documents
+) WHERE sample_rank <= {int(n)}"""
+
+
+# ---- repetition signals (Gopher-style quality filters) ----------------------
+# Repetitious documents (boilerplate, scraped templates, degenerate
+# generations) are a standard pretraining removal target (Rae et al. 2021,
+# "Scaling Language Models" §A1.1 repetition filters). Two signals, both
+# computed per-row JVM-side with higher-order functions — NO shuffle, NO
+# explode: at 100 TB an explode-to-bigrams + groupBy would shuffle the full
+# token stream, while the sorted-array max-run formulation keeps the work
+# embarrassingly parallel inside the scan stage.
+
+
+def doc_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document repetition signals.
+
+    - ``dup_token_frac``: 1 - distinct/total tokens (token-level
+      repetitiousness).
+    - ``top_bigram_frac``: share of all 2-grams taken by the most frequent
+      2-gram. Computed as the longest equal-run in the SORTED bigram array
+      (equivalent to the modal count) so the whole signal stays a per-row
+      expression.
+    """
+    df = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    toks = _tokens(F.col("text"))
+    n_tok = F.size(toks).cast("long")
+    n_uniq = F.size(F.array_distinct(toks)).cast("long")
+    bigrams = F.when(
+        F.size(toks) >= 2,
+        F.transform(
+            F.sequence(F.lit(1), F.size(toks) - 1),
+            lambda i: F.concat_ws(
+                " ", F.element_at(toks, i), F.element_at(toks, i + 1)
+            ),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    srt = F.array_sort(bigrams)
+    zero = F.lit(0).cast("long")
+    top_cnt = F.aggregate(
+        srt,
+        F.struct(
+            F.lit("").alias("prev"), zero.alias("run"), zero.alias("best")
+        ),
+        lambda acc, x: F.struct(
+            x.alias("prev"),
+            F.when(x == acc["prev"], acc["run"] + 1).otherwise(
+                F.lit(1).cast("long")
+            ).alias("run"),
+            F.greatest(
+                acc["best"],
+                F.when(x == acc["prev"], acc["run"] + 1).otherwise(
+                    F.lit(1).cast("long")
+                ),
+            ).alias("best"),
+        ),
+        lambda acc: acc["best"],
+    )
+    n_bg = F.size(bigrams).cast("long")
+    return df.select(
+        "doc_id",
+        n_tok.alias("n_tokens"),
+        n_bg.alias("n_bigrams"),
+        top_cnt.alias("top_bigram_count"),
+        F.when(n_tok > 0, F.round((n_tok - n_uniq) / n_tok, 4)).alias(
+            "dup_token_frac"
+        ),
+        F.when(n_bg > 0, F.round(top_cnt / n_bg, 4)).alias("top_bigram_frac"),
+    )
+
+
+def oracle_repetition() -> str:
+    # The oracle uses the plain relational formulation (explode + two
+    # GROUP BYs) — deliberately a DIFFERENT algorithm from the Spark
+    # sorted-run expression, so agreement checks the semantics, not the
+    # implementation.
+    return f"""
+WITH t AS (
+  SELECT doc_id, regexp_extract_all(lower(text), '{TOKEN_RE}') AS toks
+  FROM documents
+),
+g AS (
+  SELECT doc_id, toks[i] || ' ' || toks[i + 1] AS gram
+  FROM t, UNNEST(range(1, len(toks))) AS u(i)
+  WHERE len(toks) >= 2
+),
+c AS (SELECT doc_id, gram, COUNT(*) AS cnt FROM g GROUP BY 1, 2),
+m AS (SELECT doc_id, MAX(cnt) AS top_cnt, SUM(cnt) AS n_bg FROM c GROUP BY 1)
+SELECT t.doc_id,
+  CAST(len(toks) AS BIGINT) AS n_tokens,
+  CAST(COALESCE(m.n_bg, 0) AS BIGINT) AS n_bigrams,
+  CAST(COALESCE(m.top_cnt, 0) AS BIGINT) AS top_bigram_count,
+  CASE WHEN len(toks) > 0 THEN
+    ROUND((len(toks) - len(list_distinct(toks))) / CAST(len(toks) AS DOUBLE), 4)
+  END AS dup_token_frac,
+  CASE WHEN COALESCE(m.n_bg, 0) > 0 THEN
+    ROUND(m.top_cnt / CAST(m.n_bg AS DOUBLE), 4)
+  END AS top_bigram_frac
+FROM t LEFT JOIN m USING (doc_id)"""
+
+
 # ---- matching DuckDB oracle SQL ---------------------------------------------
 
 
