@@ -403,6 +403,16 @@ def q_flexible_ts(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_redact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII/identifier redaction of raw transcript text before it leaves the
+    pipeline (the reference embeds raw log text in LLM prompts,
+    ai-analyzer/analyzer/llm_client.py — this is the scrubber that hand-off
+    needs). Pure per-row projection: no shuffle, no UDF."""
+    from .redact import redact_turns
+
+    return redact_turns(load_transcripts(spark, sf_dir))
+
+
 def q_stream_window_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Tumbling-window level counts (batch expression of the streaming agg;
     the true readStream path is exercised in tests/test_streaming.py)."""
@@ -441,6 +451,7 @@ PIPELINE_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "report_buckets_fuzzy": q_report_buckets_fuzzy,
     "top_issues": q_top_issues,
     "summary": q_summary,
+    "redact": q_redact,
     "stream_window_counts": q_stream_window_counts,
     "recent_logs": q_recent_logs,
     "label_canon": q_label_canon,

@@ -517,6 +517,33 @@ def q_stream_window_counts(d: Dialect = DUCKDB) -> str:
     )
 
 
+def q_redact(d: Dialect = DUCKDB) -> str:
+    """PII/identifier scrub of raw transcript text (see
+    :mod:`timberline_spark.redact`): sequential regexp_replace chain plus
+    per-class match counts on the original text."""
+    from .redact import REDACT_PATTERNS
+
+    repl = "text"
+    counts = []
+    total = []
+    g = ", 'g'" if d.name == "duckdb" else ""
+    for name, pat, tag in REDACT_PATTERNS:
+        p = _re(d, pat)
+        repl = f"regexp_replace({repl}, '{p}', '{tag}'{g})"
+        cnt = f"CAST(len(regexp_extract_all(text, '{p}')) AS BIGINT)"
+        if d.name == "spark":
+            cnt = f"CAST(regexp_count(text, '{p}') AS BIGINT)"
+        counts.append(f"{cnt} AS n_{name}")
+        total.append(cnt)
+    return _q(
+        d,
+        "SELECT conv_id, turn_idx, "
+        f"{repl} AS redacted_text, "
+        + ", ".join(counts)
+        + f", ({' + '.join(total)}) AS n_redacted FROM tr",
+    )
+
+
 def q_flexible_ts(d: Dialect = DUCKDB) -> str:
     """Oracle for the flexible-timestamp parse on this corpus's surfaces:
     the plain-grammar ts string and a numeric epoch-seconds string (the
