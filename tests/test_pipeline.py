@@ -415,3 +415,53 @@ def test_write_small_table_complex_types(spark, tmp_path):
     _write_small_table(str(tmp_path), "t_complex", df.schema, rows)
     back = spark.read.parquet(f"{tmp_path}/t_complex").collect()
     assert len(back) == 1 and back[0].name == "a" and list(back[0].xs) == [1, 2, 3]
+
+
+def test_redact_flag_scrubs_all_sinks(spark):
+    """--redact: every sink and report surface carries scrubbed message
+    text; default keeps raw text (the flag is the compliance opt-in)."""
+    rows = [
+        ("c-1", 0, "user",
+         "2024-01-05 10:00:00 ERROR [svc-1] login failed for u42 in sess-991",
+         "", "2024-01-05 10:00:00"),
+        ("c-1", 1, "assistant",
+         "2024-01-05 10:00:01 ERROR [svc-1] notify ops@example.com from 10.0.0.7",
+         "", "2024-01-05 10:00:01"),
+    ]
+    tr = spark.createDataFrame(
+        rows,
+        "conv_id string, turn_idx int, role string, text string,"
+        " tool string, ts_s string",
+    ).withColumn("ts", F.col("ts_s").cast("timestamp")).drop("ts_s")
+    in_dir = tempfile.mkdtemp(prefix="tl_rd_in_")
+    out_on = tempfile.mkdtemp(prefix="tl_rd_on_")
+    out_off = tempfile.mkdtemp(prefix="tl_rd_off_")
+    try:
+        tr.coalesce(1).write.mode("overwrite").parquet(f"{in_dir}/transcripts")
+        run_pipeline(spark, "", out_off, run_id="rd",
+                     input_table=f"{in_dir}/transcripts")
+        run_pipeline(spark, "", out_on, run_id="rd",
+                     input_table=f"{in_dir}/transcripts", redact=True)
+        raw = " ".join(
+            r.message for r in spark.read.parquet(f"{out_off}/sink_errors").collect()
+        )
+        assert "u42" in raw and "ops@example.com" in raw
+        scrub = " ".join(
+            r.message for r in spark.read.parquet(f"{out_on}/sink_errors").collect()
+        )
+        for leaked in ("u42", "sess-991", "ops@example.com", "10.0.0.7"):
+            assert leaked not in scrub, scrub
+        for tag in ("<USER>", "<SESSION>", "<EMAIL>", "<IP>"):
+            assert tag in scrub, scrub
+        # report surfaces (cluster templates + JSON doc) are scrubbed too
+        ex = " ".join(
+            r.fingerprint
+            for r in spark.read.parquet(f"{out_on}/analysis_results").collect()
+        )
+        assert "u42" not in ex and "<user>" in ex  # fingerprints lowercase
+        import glob as g
+        doc = open(g.glob(f"{out_on}/daily_analysis_rd.json")[0]).read()
+        assert "u42" not in doc
+    finally:
+        for d in (in_dir, out_on, out_off):
+            shutil.rmtree(d, ignore_errors=True)

@@ -245,6 +245,7 @@ def run_pipeline(
     webhook_url: str | None = None,
     webhook_spool: str | None = None,
     fuzzy_buckets: bool = False,
+    redact: bool = False,
 ) -> RunResult:
     """Run (or resume) the full pipeline.
 
@@ -260,6 +261,14 @@ def run_pipeline(
     merged component, the merged global table is written next to the exact
     one as ``report_buckets_fuzzy``, and top_issues + the report summary
     derive from the merged clustering.
+
+    redact=True scrubs PII/identifier tokens (:mod:`timberline_spark.redact`)
+    from the parsed ``message`` BEFORE the stage checkpoint, so every
+    downstream surface — the category sinks, report-bucket example
+    messages, the report JSON document, the webhook payload — carries only
+    scrubbed text. This is the compliance gate for the reference's LLM
+    hand-off (ai-analyzer llm_client.py embeds raw log text in prompts);
+    cost is a per-row projection fused into the existing classify stage.
     """
     t0 = time.time()
     # resume correctness depends on dynamic partition overwrite: with the
@@ -286,12 +295,16 @@ def run_pipeline(
     # run that last wrote it (dynamic overwrite keeps one writer per date),
     # which is what scopes stage 2+3 to THIS run's dates — another run's
     # dates stay in the shared tables but out of this run's aggregation.
-    classified = (
-        route.classify_turns(enrich_turns(spark, parse_turns(tr, impl=parse_impl)))
-        .select(*stage_cols)
-        .withColumn("p_date", _p_date("effective_ts_ms"))
-        .withColumn("run_id", F.lit(run_id))
-    )
+    classified = route.classify_turns(
+        enrich_turns(spark, parse_turns(tr, impl=parse_impl))
+    ).select(*stage_cols)
+    if redact:
+        from .redact import redact_text
+
+        classified = classified.withColumn("message", redact_text(F.col("message")))
+    classified = classified.withColumn(
+        "p_date", _p_date("effective_ts_ms")
+    ).withColumn("run_id", F.lit(run_id))
 
     import os
 
@@ -692,6 +705,11 @@ def main(argv=None):
         " analysis_results/top_issues/summary; writes report_buckets_fuzzy",
     )
     ap.add_argument(
+        "--redact", action="store_true",
+        help="scrub PII/identifier tokens from parsed messages before the"
+        " stage checkpoint (all sinks and reports carry scrubbed text)",
+    )
+    ap.add_argument(
         "--iceberg-table", default=None,
         help="execute the S5 Iceberg DDL bootstrap for this catalog table"
         " before running (requires iceberg-spark-runtime on the classpath)",
@@ -712,6 +730,7 @@ def main(argv=None):
         webhook_url=args.webhook_url,
         webhook_spool=args.webhook_spool,
         fuzzy_buckets=args.fuzzy_buckets,
+        redact=args.redact,
     )
     print(
         json.dumps(
