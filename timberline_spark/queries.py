@@ -403,6 +403,43 @@ def q_flexible_ts(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_conv_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-conversation rollup over the classified transcript: turn counts,
+    role mix, tool usage, error rate, and span. The transcript-pipeline
+    analog of the reference's per-sink aggregate counts (engine.py report
+    totals), keyed by conversation instead of globally — the unit a
+    training-data curation step filters on (e.g. drop conversations with
+    error_rate > x or n_turns < y). ONE hash-agg shuffle on conv_id with
+    map-side partial aggregation; no windows."""
+    df = _classified(spark, sf_dir)
+    one = F.lit(1)
+    g = df.groupBy("conv_id").agg(
+        F.count(one).cast("long").alias("n_turns"),
+        F.sum(F.when(F.col("role") == "user", one).otherwise(0))
+        .cast("long")
+        .alias("n_user_turns"),
+        F.sum(F.when(F.col("role") == "assistant", one).otherwise(0))
+        .cast("long")
+        .alias("n_assistant_turns"),
+        F.sum(F.when(F.col("tool") != "", one).otherwise(0))
+        .cast("long")
+        .alias("n_tool_calls"),
+        F.count_distinct(F.when(F.col("tool") != "", F.col("tool")))
+        .cast("long")
+        .alias("n_distinct_tools"),
+        F.sum(F.when(F.col("is_valid") & F.col("is_error"), one).otherwise(0))
+        .cast("long")
+        .alias("n_errors"),
+        F.min("effective_ts_ms").cast("long").alias("first_ts_ms"),
+        F.max("effective_ts_ms").cast("long").alias("last_ts_ms"),
+    )
+    return g.select(
+        "*",
+        (F.col("last_ts_ms") - F.col("first_ts_ms")).alias("duration_ms"),
+        F.round(F.col("n_errors") / F.col("n_turns"), 4).alias("error_rate"),
+    )
+
+
 def q_redact(spark: SparkSession, sf_dir: str) -> DataFrame:
     """PII/identifier redaction of raw transcript text before it leaves the
     pipeline (the reference embeds raw log text in LLM prompts,
@@ -451,6 +488,7 @@ PIPELINE_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "report_buckets_fuzzy": q_report_buckets_fuzzy,
     "top_issues": q_top_issues,
     "summary": q_summary,
+    "conv_stats": q_conv_stats,
     "redact": q_redact,
     "stream_window_counts": q_stream_window_counts,
     "recent_logs": q_recent_logs,

@@ -517,6 +517,29 @@ def q_stream_window_counts(d: Dialect = DUCKDB) -> str:
     )
 
 
+def q_conv_stats(d: Dialect = DUCKDB) -> str:
+    """Per-conversation rollup (see queries.q_conv_stats)."""
+    return _q(
+        d,
+        """SELECT conv_id, n_turns, n_user_turns, n_assistant_turns,
+       n_tool_calls, n_distinct_tools, n_errors, first_ts_ms, last_ts_ms,
+       last_ts_ms - first_ts_ms AS duration_ms,
+       ROUND(n_errors / CAST(n_turns AS DOUBLE), 4) AS error_rate
+FROM (
+  SELECT conv_id,
+    CAST(COUNT(*) AS BIGINT) AS n_turns,
+    CAST(SUM(CASE WHEN role = 'user' THEN 1 ELSE 0 END) AS BIGINT) AS n_user_turns,
+    CAST(SUM(CASE WHEN role = 'assistant' THEN 1 ELSE 0 END) AS BIGINT) AS n_assistant_turns,
+    CAST(SUM(CASE WHEN tool <> '' THEN 1 ELSE 0 END) AS BIGINT) AS n_tool_calls,
+    CAST(COUNT(DISTINCT CASE WHEN tool <> '' THEN tool END) AS BIGINT) AS n_distinct_tools,
+    CAST(SUM(CASE WHEN is_valid AND is_error THEN 1 ELSE 0 END) AS BIGINT) AS n_errors,
+    CAST(MIN(effective_ts_ms) AS BIGINT) AS first_ts_ms,
+    CAST(MAX(effective_ts_ms) AS BIGINT) AS last_ts_ms
+  FROM flagged GROUP BY conv_id
+) s""",
+    )
+
+
 def q_redact(d: Dialect = DUCKDB) -> str:
     """PII/identifier scrub of raw transcript text (see
     :mod:`timberline_spark.redact`): sequential regexp_replace chain plus
