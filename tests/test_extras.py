@@ -813,3 +813,25 @@ def test_repetition_signals_order_crafted_docs(spark, tmp_path):
 def test_repetition_plan_is_scan_only(spark):
     plan = tf.doc_repetition(spark, SF_TINY)._jdf.queryExecution().executedPlan().toString()
     assert "Exchange" not in plan, plan
+
+
+def test_pack_sequences_invariants(spark):
+    rows = tf.doc_pack_sequences(spark, SF_TINY, budget=100, shards=4).collect()
+    assert rows
+    by_shard = {}
+    for r in rows:
+        assert 0 <= r.shard < 4
+        assert r.pack_id // 1_000_000 == r.shard
+        assert 0 <= r.offset_in_pack < 100
+        by_shard.setdefault(r.shard, []).append(r)
+    for shard, rs in by_shard.items():
+        rs.sort(key=lambda r: r.doc_id)
+        cum = 0
+        for r in rs:
+            # doc starts at the running total; pack = where its 1st token lands
+            assert r.pack_id == shard * 1_000_000 + cum // 100
+            assert r.offset_in_pack == cum % 100
+            cum += r.n_tokens
+    # deterministic across (re)runs
+    again = tf.doc_pack_sequences(spark, SF_TINY, budget=100, shards=4).collect()
+    assert sorted(map(tuple, rows)) == sorted(map(tuple, again))

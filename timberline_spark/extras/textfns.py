@@ -317,6 +317,92 @@ SELECT doc_id, source, hash_rank, sample_rank FROM (
 ) WHERE sample_rank <= {int(n)}"""
 
 
+# ---- sequence packing (concat-and-chunk pretraining prep) -------------------
+
+PACK_TOKEN_BUDGET = 256
+PACK_SHARDS = 8
+
+
+def doc_pack_sequences(
+    spark: SparkSession,
+    sf_dir: str,
+    budget: int = PACK_TOKEN_BUDGET,
+    shards: int = PACK_SHARDS,
+) -> DataFrame:
+    """Greedy contiguous sequence packing (GPT-style concat-and-chunk).
+
+    Documents are deterministically sharded by doc-id hash, ordered by
+    doc_id within the shard, and concatenated; a document belongs to the
+    pack in which its first token lands (``floor(cum_tokens_before /
+    budget)``). Packs can therefore overflow by up to one document's
+    tokens — the standard streaming-packer contract (strict bin packing is
+    neither order-preserving nor one-pass).
+
+    Scale shape: ONE shuffle keyed by shard + a per-shard sort by doc_id.
+    Packing parallelism == ``shards``; at corpus scale pick shards ~ the
+    cluster's core count so every shard's window fits one task, and pack
+    ids stay globally unique via the shard prefix. Deterministic: same
+    corpus + same (budget, shards) -> same packs on any cluster layout.
+    """
+    from pyspark.sql import Window
+
+    from . import xhash as xh
+
+    df = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    shard = (xh.mix32(xh.char_hash(F.col("doc_id").cast("string"))) % shards).cast(
+        "long"
+    )
+    n_tok = F.size(_tokens(F.col("text"))).cast("long")
+    base = df.select("doc_id", shard.alias("shard"), n_tok.alias("n_tokens"))
+    w = (
+        Window.partitionBy("shard")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    cum_before = F.coalesce(F.sum("n_tokens").over(w), F.lit(0)).cast("long")
+    out = base.select(
+        "doc_id",
+        "shard",
+        "n_tokens",
+        cum_before.alias("cum_before"),
+    )
+    local = F.floor(F.col("cum_before") / budget).cast("long")
+    return out.select(
+        "doc_id",
+        "shard",
+        "n_tokens",
+        (F.col("shard") * 1_000_000 + local).alias("pack_id"),
+        (F.col("cum_before") % budget).alias("offset_in_pack"),
+    )
+
+
+def oracle_pack_sequences(
+    budget: int = PACK_TOKEN_BUDGET, shards: int = PACK_SHARDS
+) -> str:
+    from . import xhash as xh
+
+    h = xh.sql_mix32(xh.sql_char_hash("CAST(doc_id AS VARCHAR)"))
+    return f"""
+WITH base AS (
+  SELECT doc_id,
+    CAST(({h}) % {int(shards)} AS BIGINT) AS shard,
+    CAST(len(regexp_extract_all(lower(text), '{TOKEN_RE}')) AS BIGINT) AS n_tokens
+  FROM documents
+),
+c AS (
+  SELECT doc_id, shard, n_tokens,
+    CAST(COALESCE(SUM(n_tokens) OVER (
+      PARTITION BY shard ORDER BY doc_id
+      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+    ), 0) AS BIGINT) AS cum_before
+  FROM base
+)
+SELECT doc_id, shard, n_tokens,
+  shard * 1000000 + CAST(FLOOR(cum_before / {int(budget)}) AS BIGINT) AS pack_id,
+  cum_before % {int(budget)} AS offset_in_pack
+FROM c"""
+
+
 # ---- repetition signals (Gopher-style quality filters) ----------------------
 # Repetitious documents (boilerplate, scraped templates, degenerate
 # generations) are a standard pretraining removal target (Rae et al. 2021,
