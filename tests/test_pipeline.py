@@ -465,3 +465,36 @@ def test_redact_flag_scrubs_all_sinks(spark):
     finally:
         for d in (in_dir, out_on, out_off):
             shutil.rmtree(d, ignore_errors=True)
+
+
+def test_resume_refuses_config_drift(spark):
+    """A resume under different semantic flags (here: --redact flipped)
+    must fail loudly instead of writing partitions that silently disagree
+    with the already-committed ones."""
+    rows = [
+        ("c-1", 0, "user",
+         "2024-01-05 10:00:00 ERROR [svc-1] login failed for u42",
+         "", "2024-01-05 10:00:00"),
+    ]
+    tr = spark.createDataFrame(
+        rows,
+        "conv_id string, turn_idx int, role string, text string,"
+        " tool string, ts_s string",
+    ).withColumn("ts", F.col("ts_s").cast("timestamp")).drop("ts_s")
+    in_dir = tempfile.mkdtemp(prefix="tl_cfg_in_")
+    out = tempfile.mkdtemp(prefix="tl_cfg_out_")
+    try:
+        tr.coalesce(1).write.mode("overwrite").parquet(f"{in_dir}/transcripts")
+        run_pipeline(spark, "", out, run_id="cf",
+                     input_table=f"{in_dir}/transcripts", redact=True)
+        with pytest.raises(ValueError, match="redact"):
+            run_pipeline(spark, "", out, run_id="cf",
+                         input_table=f"{in_dir}/transcripts")
+        # same flags resume fine; a different run_id pins its own config
+        run_pipeline(spark, "", out, run_id="cf",
+                     input_table=f"{in_dir}/transcripts", redact=True)
+        run_pipeline(spark, "", out, run_id="cf2",
+                     input_table=f"{in_dir}/transcripts")
+    finally:
+        shutil.rmtree(in_dir, ignore_errors=True)
+        shutil.rmtree(out, ignore_errors=True)

@@ -233,6 +233,42 @@ def _write_small_table(out_dir: str, table: str, spark_schema, row_dicts):
     pq.write_table(t, f"{out_dir}/{table}/part-{uuid.uuid4().hex}.parquet")
 
 
+def _pin_run_config(out_dir: str, run_id: str, cfg: dict) -> None:
+    """Refuse to resume a run under different semantics.
+
+    Resume skips partitions already committed by this run_id, so flags
+    that change WHAT gets written (input selection, redaction, fuzzy
+    clustering) must match the original invocation — otherwise old and
+    new partitions would silently disagree (e.g. half the sink rows
+    redacted). The first invocation pins its config as a tiny driver-side
+    JSON; any later invocation with the same (out_dir, run_id) must
+    match or it fails loudly naming the drifted flags. parse_impl is
+    deliberately NOT pinned: native and pandas parse are oracle-verified
+    identical (tests/test_oracle_parity.py pandas-vs-native).
+    """
+    import os
+
+    path = f"{out_dir}/_run_config/{run_id}.json"
+    if os.path.exists(path):
+        with open(path) as f:
+            prev = json.load(f)
+        drift = {k: (prev.get(k), v) for k, v in cfg.items() if prev.get(k) != v}
+        if drift:
+            raise ValueError(
+                f"resume config mismatch for run_id={run_id!r}: "
+                + ", ".join(
+                    f"{k} was {a!r}, now {b!r}" for k, (a, b) in sorted(drift.items())
+                )
+                + " — rerun with the original flags or use a new run_id/out_dir"
+            )
+        return
+    os.makedirs(f"{out_dir}/_run_config", exist_ok=True)
+    tmp = f"{path}.tmp"
+    with open(tmp, "w") as f:
+        json.dump(cfg, f)
+    os.replace(tmp, path)
+
+
 def run_pipeline(
     spark: SparkSession,
     sf_dir: str,
@@ -271,6 +307,17 @@ def run_pipeline(
     cost is a per-row projection fused into the existing classify stage.
     """
     t0 = time.time()
+    _pin_run_config(
+        out_dir,
+        run_id,
+        {
+            "sf_dir": sf_dir,
+            "input_table": input_table,
+            "replicate": replicate,
+            "redact": bool(redact),
+            "fuzzy_buckets": bool(fuzzy_buckets),
+        },
+    )
     # resume correctness depends on dynamic partition overwrite: with the
     # static default, re-writing one date partition would truncate the rest
     spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
