@@ -62,25 +62,55 @@ def _perm_coeffs(j: int) -> tuple[int, int]:
     return (a | 1), b  # odd a
 
 
+def spread_for_compute(df: DataFrame, partitions: int | None = None) -> DataFrame:
+    """Round-robin repartition iff the frame's scan parallelism is below
+    the session's core count.
+
+    Heavy per-row chains (regex tokenize, shingle hashing, per-perm
+    minhash) otherwise run on as few tasks as the source has row groups —
+    a single small parquet file serializes ALL of it on one core (measured:
+    the minhash docs chain alone took 150 s at sf0.1 on a 1-row-group
+    file). The exchange is also a CollapseProject barrier: projections
+    computed after it cannot be inlined back into the scan, so downstream
+    multi-reference plans replay a cheap parallel scan instead of the
+    expensive chain. On a many-file corpus (scan partitions >= cores) this
+    is a NO-OP — the cluster-scale plan pays nothing.
+    """
+    sc = df.sparkSession.sparkContext
+    target = partitions or sc.defaultParallelism
+    if df.rdd.getNumPartitions() >= target:
+        return df
+    return df.repartition(target)
+
+
 def _norm_text(col):
     return F.regexp_replace(F.trim(F.lower(col)), "[ ]+", " ")
 
 
 def _shingles(col):
-    """Distinct K-token STRING shingles (used by the Jaccard family)."""
-    toks = F.regexp_extract_all(F.lower(col), F.lit(TOKEN_RE), 0)
-    n = F.size(toks)
-    # guard: sequence(1, 0) would generate a DESCENDING range in Spark
-    sh = F.when(n >= SHINGLE_K, F.transform(
-        F.sequence(F.lit(1), n - (SHINGLE_K - 1)),
-        lambda i: F.concat_ws(
-            " ",
-            F.element_at(toks, i),
-            F.element_at(toks, i + 1),
-            F.element_at(toks, i + 2),
-        ),
-    )).otherwise(F.array().cast("array<string>"))
-    return F.array_distinct(sh)
+    """Distinct K-token STRING shingles (used by the Jaccard family).
+
+    The token array is let-bound (xhash.let): it is referenced three times
+    per shingle position, and an unbound reference re-runs the regexp
+    tokenize per element."""
+
+    def _build(toks):
+        n = F.size(toks)
+        # guard: sequence(1, 0) would generate a DESCENDING range in Spark
+        sh = F.when(n >= SHINGLE_K, F.transform(
+            F.sequence(F.lit(1), n - (SHINGLE_K - 1)),
+            lambda i: F.concat_ws(
+                " ",
+                F.element_at(toks, i),
+                F.element_at(toks, i + 1),
+                F.element_at(toks, i + 2),
+            ),
+        )).otherwise(F.array().cast("array<string>"))
+        return F.array_distinct(sh)
+
+    return xh.let(
+        F.regexp_extract_all(F.lower(col), F.lit(TOKEN_RE), 0), _build
+    )
 
 
 def doc_exact_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -141,7 +171,9 @@ def doc_jaccard_pairs(
     candidate pair.
     """
     docs = (
-        spark.read.parquet(f"{sf_dir}/documents.parquet")
+        spread_for_compute(
+            spark.read.parquet(f"{sf_dir}/documents.parquet").select("doc_id", "text")
+        )
         .select("doc_id", _shingles(F.col("text")).alias("sh"))
         .withColumn("n_sh", F.size("sh"))
         .filter(F.col("n_sh") > 0)
@@ -316,7 +348,9 @@ def sql_capped_index(source: str, key: str, max_df: int, rare_k: int) -> str:
 def _hashed_shingle_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """(doc_id, sh: array<long>, n_sh) — distinct hashed shingles per doc."""
     return (
-        spark.read.parquet(f"{sf_dir}/documents.parquet")
+        spread_for_compute(
+            spark.read.parquet(f"{sf_dir}/documents.parquet").select("doc_id", "text")
+        )
         .select(
             "doc_id",
             xh.shingle_hashes(xh.token_hashes(F.col("text")), SHINGLE_K).alias("sh"),
@@ -332,12 +366,26 @@ def _perm_lambda(a: int, b: int):
 
 
 def _minhash_col(sh_col: Column) -> Column:
-    """Array of MINHASH_PERMS min-hashes over a hashed-shingle array."""
-    mh = []
-    for j in range(MINHASH_PERMS):
-        a, b = _perm_coeffs(j)
-        mh.append(F.array_min(F.transform(sh_col, _perm_lambda(a, b))))
-    return F.array(*mh)
+    """Array of MINHASH_PERMS min-hashes over a hashed-shingle array.
+
+    Built as ONE transform over a literal (a, b)-coefficient array so the
+    shingle expression appears exactly once in the tree: the earlier
+    16-separate-array_min construction referenced it 16 times, and
+    Catalyst re-evaluated the full upstream chain per reference (no CSE
+    across HOF lambda boundaries) — measured 150 s vs ~2 s at sf0.1.
+    """
+    perms = F.array(
+        *[
+            F.struct(F.lit(a).alias("a"), F.lit(b).alias("b"))
+            for a, b in (_perm_coeffs(j) for j in range(MINHASH_PERMS))
+        ]
+    )
+    return F.transform(
+        perms,
+        lambda p: F.array_min(
+            F.transform(sh_col, lambda x: (x * p["a"] + p["b"]) % F.lit(MINHASH_P))
+        ),
+    )
 
 
 def doc_minhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -359,26 +407,21 @@ def doc_minhash_lsh_pairs(
         "minhash", _minhash_col(F.col("sh"))
     )
     rows_per_band = MINHASH_PERMS // LSH_BANDS
+    # single-reference bucket construction (see _minhash_col): minhash
+    # appears once, inside one transform over the band indices
+    buckets = F.transform(
+        F.sequence(F.lit(0), F.lit(LSH_BANDS - 1)),
+        lambda bd: F.concat_ws(
+            "_",
+            F.transform(
+                F.slice(F.col("minhash"), bd * rows_per_band + 1, rows_per_band),
+                lambda m: m.cast("string"),
+            ),
+        ),
+    )
     bands = docs.select(
-        "doc_id",
-        F.explode(
-            F.array(
-                *[
-                    F.struct(
-                        F.lit(band).alias("band"),
-                        F.concat_ws(
-                            "_",
-                            *[
-                                F.element_at("minhash", band * rows_per_band + r + 1)
-                                for r in range(rows_per_band)
-                            ],
-                        ).alias("bucket"),
-                    )
-                    for band in range(LSH_BANDS)
-                ]
-            )
-        ).alias("bb"),
-    ).select("doc_id", "bb.band", "bb.bucket")
+        "doc_id", F.posexplode(buckets).alias("band", "bucket")
+    )
     a, b = bands.alias("a"), bands.alias("b")
     cand = (
         a.join(

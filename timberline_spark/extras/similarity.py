@@ -686,9 +686,9 @@ def cosine_pairs(
     pair, so the df cap can only affect recall, never scores.
     """
     from . import xhash as xh
-    from .dedup import capped_index
+    from .dedup import capped_index, spread_for_compute
 
-    exploded = docs.select(
+    exploded = spread_for_compute(docs).select(
         "doc_id",
         F.explode(xh.token_hashes(F.col("text"))).alias("th"),
     )
