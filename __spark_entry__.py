@@ -33,9 +33,10 @@ def oracle_sql() -> dict[str, str]:
         fn = getattr(sqlgen, f"q_{oracle_name}", None)
         if fn is not None:
             out[name] = fn()
-    # every registered query has a DuckDB oracle (41/41 as of round 3,
+    # every registered query has a DuckDB oracle (51/51 as of round 5,
     # including MinHash banding, hyperplane LSH, the multimodal fake
-    # decoder, and the connected-components closure); pure-Python oracles
-    # in tests additionally pin the non-SQL constructions.
+    # decoder, the connected-components closure, PII redaction, quota
+    # sampling, sequence packing, and repetition signals); pure-Python
+    # oracles in tests additionally pin the non-SQL constructions.
     out.update(Q.EXTRA_ORACLES)
     return out
