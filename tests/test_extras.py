@@ -835,3 +835,33 @@ def test_pack_sequences_invariants(spark):
     # deterministic across (re)runs
     again = tf.doc_pack_sequences(spark, SF_TINY, budget=100, shards=4).collect()
     assert sorted(map(tuple, rows)) == sorted(map(tuple, again))
+
+
+def test_contamination_flags_verbatim_probe_overlap(spark, tmp_path):
+    import pandas as pd
+
+    pd.DataFrame(
+        {
+            "doc_id": [0, 1],
+            "text": [
+                "prefix words then connection pool exhausted for something",
+                "completely unrelated clean content here",
+            ],
+            "lang": ["en"] * 2,
+            "source": ["s"] * 2,
+            "n_chars": [0] * 2,
+        }
+    ).to_parquet(str(tmp_path / "documents.parquet"))
+    rows = tf.doc_contamination(spark, str(tmp_path)).collect()
+    assert {r.doc_id for r in rows} == {0}
+    assert all(r.n_shared_shingles >= 1 for r in rows)
+
+
+def test_vocab_rank_deterministic_and_counts(spark):
+    rows = tf.doc_vocab(spark, SF_TINY, top_k=10).collect()
+    assert len(rows) == 10
+    by_rank = sorted(rows, key=lambda r: r.rank)
+    counts = [r.n_occurrences for r in by_rank]
+    assert counts == sorted(counts, reverse=True)
+    for r in rows:
+        assert r.n_docs <= r.n_occurrences

@@ -403,6 +403,136 @@ SELECT doc_id, shard, n_tokens,
 FROM c"""
 
 
+# ---- corpus vocabulary ------------------------------------------------------
+
+VOCAB_TOP_K = 100
+
+
+def doc_vocab(spark: SparkSession, sf_dir: str, top_k: int = VOCAB_TOP_K) -> DataFrame:
+    """Corpus vocabulary: the ``top_k`` most frequent tokens with counts,
+    document frequencies, and a deterministic rank — the seed step of
+    building a tokenizer vocab / stopword list over a corpus.
+
+    Scale shape: explode + ONE combinable hash-agg shuffle keyed by token
+    (classic wordcount — per-token partial counts merge map-side), then a
+    global top-k via TakeOrderedAndProject (no full sort, no window over
+    the whole vocab). Ties are broken by token string so the rank is
+    reproducible across engines and cluster layouts.
+    """
+    from pyspark.sql import Window
+
+    df = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    toks = df.select("doc_id", F.explode(_tokens(F.col("text"))).alias("token"))
+    counts = toks.groupBy("token").agg(
+        F.count(F.lit(1)).cast("long").alias("n_occurrences"),
+        F.count_distinct("doc_id").cast("long").alias("n_docs"),
+    )
+    top = counts.orderBy(
+        F.col("n_occurrences").desc(), F.col("token").asc()
+    ).limit(top_k)
+    w = Window.orderBy(F.col("n_occurrences").desc(), F.col("token").asc())
+    return top.withColumn("rank", F.row_number().over(w).cast("long"))
+
+
+def oracle_vocab(top_k: int = VOCAB_TOP_K) -> str:
+    return f"""
+SELECT token, n_occurrences, n_docs,
+  CAST(ROW_NUMBER() OVER (ORDER BY n_occurrences DESC, token ASC) AS BIGINT) AS rank
+FROM (
+  SELECT token,
+    CAST(COUNT(*) AS BIGINT) AS n_occurrences,
+    CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS n_docs
+  FROM (
+    SELECT doc_id, unnest(regexp_extract_all(lower(text), '{TOKEN_RE}')) AS token
+    FROM documents
+  ) GROUP BY token
+) ORDER BY n_occurrences DESC, token ASC LIMIT {int(top_k)}"""
+
+
+# ---- eval-set contamination screening ---------------------------------------
+# Before training, a corpus is screened for verbatim overlap with held-out
+# benchmark/eval text (decontamination). Probes are the eval strings; a
+# document is contaminated if it shares any K-token shingle with a probe.
+# The probe set is tiny (thousands of eval items) -> broadcast side of the
+# join; the corpus side is the same exploded-shingle stream the dedup
+# family already uses, so the screen composes with one scan.
+
+CONTAMINATION_PROBES = (
+    "connection pool exhausted for",
+    "payment gateway timeout after",
+    "slow query detected in the batch window",
+)
+
+
+def doc_contamination(
+    spark: SparkSession,
+    sf_dir: str,
+    probes: tuple[str, ...] = CONTAMINATION_PROBES,
+) -> DataFrame:
+    """Documents sharing any token shingle (K = dedup.SHINGLE_K) with a
+    probe string: (doc_id, probe_id, n_shared_shingles).
+
+    Plan shape at 100 TB: corpus scan -> shingle explode -> BROADCAST
+    hash join against the (tiny) probe-shingle set -> one combinable
+    hash-agg on (doc_id, probe_id). No shuffle of corpus data beyond the
+    aggregation; rows sharing no shingle never leave the scan stage.
+    """
+    from .dedup import _shingles
+
+    df = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    doc_sh = df.select(
+        "doc_id", F.explode(_shingles(F.col("text"))).alias("shingle")
+    )
+    probe_rows = [(i, p) for i, p in enumerate(probes)]
+    probe_sh = (
+        spark.createDataFrame(probe_rows, "probe_id long, probe_text string")
+        .select(
+            "probe_id", F.explode(_shingles(F.col("probe_text"))).alias("shingle")
+        )
+        .distinct()
+    )
+    return (
+        doc_sh.join(F.broadcast(probe_sh), "shingle")
+        .groupBy("doc_id", "probe_id")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_shared_shingles"))
+    )
+
+
+def oracle_contamination(
+    probes: tuple[str, ...] = CONTAMINATION_PROBES,
+) -> str:
+    probe_values = ", ".join(
+        f"({i}, '" + p.replace("'", "''") + "')" for i, p in enumerate(probes)
+    )
+    # K = dedup.SHINGLE_K = 3, matching the Spark side's _shingles
+    sh = (
+        "list_distinct(CASE WHEN len(toks) >= 3 THEN"
+        " list_transform(range(1, len(toks) - 1), i ->"
+        " toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])"
+        " ELSE []::VARCHAR[] END)"
+    )
+    return f"""
+WITH probes(probe_id, probe_text) AS (VALUES {probe_values}),
+dt AS (
+  SELECT doc_id, regexp_extract_all(lower(text), '{TOKEN_RE}') AS toks
+  FROM documents
+),
+ds AS (
+  SELECT doc_id, unnest({sh}) AS shingle FROM dt
+),
+pt AS (
+  SELECT probe_id, regexp_extract_all(lower(probe_text), '{TOKEN_RE}') AS toks
+  FROM probes
+),
+ps AS (
+  SELECT DISTINCT probe_id, unnest({sh}) AS shingle FROM pt
+)
+SELECT ds.doc_id, CAST(ps.probe_id AS BIGINT) AS probe_id,
+  CAST(COUNT(*) AS BIGINT) AS n_shared_shingles
+FROM ds JOIN ps USING (shingle)
+GROUP BY ds.doc_id, ps.probe_id"""
+
+
 # ---- repetition signals (Gopher-style quality filters) ----------------------
 # Repetitious documents (boilerplate, scraped templates, degenerate
 # generations) are a standard pretraining removal target (Rae et al. 2021,

@@ -523,6 +523,8 @@ def _extra_registries():
         "doc_quota_topn": tf.doc_quota_topn,
         "doc_repetition": tf.doc_repetition,
         "doc_pack_sequences": tf.doc_pack_sequences,
+        "doc_vocab": tf.doc_vocab,
+        "doc_contamination": tf.doc_contamination,
         "doc_exact_dedup": dd.doc_exact_dedup,
         "doc_jaccard_pairs": lambda s, d: dd.doc_jaccard_pairs(s, d, 0.2),
         "doc_minhash_lsh_pairs": lambda s, d: dd.doc_minhash_lsh_pairs(s, d, 0.2),
@@ -551,6 +553,8 @@ def _extra_registries():
         "doc_quota_topn": tf.oracle_quota_topn(),
         "doc_repetition": tf.oracle_repetition(),
         "doc_pack_sequences": tf.oracle_pack_sequences(),
+        "doc_vocab": tf.oracle_vocab(),
+        "doc_contamination": tf.oracle_contamination(),
         "doc_exact_dedup": dd.oracle_exact_dedup(),
         "doc_jaccard_pairs": dd.oracle_jaccard_pairs(0.2),
         "doc_minhash_lsh_pairs": dd.oracle_minhash_lsh_pairs(0.2),
