@@ -440,6 +440,50 @@ def q_conv_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+SESSION_GAP_MS = 3_600_000  # 1 hour of inactivity splits a session
+
+
+def q_conv_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gap-based sessionization of conversations (gaps-and-islands): a new
+    session starts when a conversation is silent for more than
+    SESSION_GAP_MS. Batch twin of Structured Streaming's
+    ``F.session_window``; the reference's per-conversation grouping has no
+    session notion, so this extends the transcript pipeline the way a
+    usage-analytics consumer needs it.
+
+    Scale shape: both windows (lag + running sum) partition on conv_id —
+    high cardinality, so every partition is a small independent sort; one
+    shuffle keyed by conv_id feeds both windows AND the final session
+    aggregation (same key -> Spark reuses the exchange).
+    """
+    from pyspark.sql import Window
+
+    df = _classified(spark, sf_dir).filter(F.col("is_valid"))
+    w = Window.partitionBy("conv_id").orderBy("effective_ts_ms", "turn_idx")
+    gap = F.col("effective_ts_ms") - F.lag("effective_ts_ms").over(w)
+    marked = df.select(
+        "conv_id",
+        "turn_idx",
+        "effective_ts_ms",
+        F.when(gap.isNull() | (gap > SESSION_GAP_MS), 1).otherwise(0).alias("is_new"),
+    )
+    sess = marked.withColumn(
+        "session_idx",
+        F.sum("is_new")
+        .over(
+            Window.partitionBy("conv_id")
+            .orderBy("effective_ts_ms", "turn_idx")
+            .rowsBetween(Window.unboundedPreceding, 0)
+        )
+        .cast("long"),
+    )
+    return sess.groupBy("conv_id", "session_idx").agg(
+        F.count(F.lit(1)).cast("long").alias("n_turns"),
+        F.min("effective_ts_ms").cast("long").alias("session_start_ms"),
+        F.max("effective_ts_ms").cast("long").alias("session_end_ms"),
+    )
+
+
 def q_redact(spark: SparkSession, sf_dir: str) -> DataFrame:
     """PII/identifier redaction of raw transcript text before it leaves the
     pipeline (the reference embeds raw log text in LLM prompts,
@@ -489,6 +533,7 @@ PIPELINE_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "top_issues": q_top_issues,
     "summary": q_summary,
     "conv_stats": q_conv_stats,
+    "conv_sessions": q_conv_sessions,
     "redact": q_redact,
     "stream_window_counts": q_stream_window_counts,
     "recent_logs": q_recent_logs,

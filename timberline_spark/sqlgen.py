@@ -540,6 +540,38 @@ FROM (
     )
 
 
+def q_conv_sessions(d: Dialect = DUCKDB) -> str:
+    """Gap-based sessionization (see queries.q_conv_sessions).
+    SESSION_GAP_MS is imported from queries to keep one source of truth."""
+    from .queries import SESSION_GAP_MS
+
+    return _q(
+        d,
+        f"""SELECT conv_id, session_idx,
+       CAST(COUNT(*) AS BIGINT) AS n_turns,
+       CAST(MIN(effective_ts_ms) AS BIGINT) AS session_start_ms,
+       CAST(MAX(effective_ts_ms) AS BIGINT) AS session_end_ms
+FROM (
+  SELECT conv_id, effective_ts_ms,
+    CAST(SUM(is_new) OVER (
+      PARTITION BY conv_id ORDER BY effective_ts_ms, turn_idx
+      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+    ) AS BIGINT) AS session_idx
+  FROM (
+    SELECT conv_id, turn_idx, effective_ts_ms,
+      CASE WHEN effective_ts_ms - LAG(effective_ts_ms) OVER (
+             PARTITION BY conv_id ORDER BY effective_ts_ms, turn_idx
+           ) > {SESSION_GAP_MS}
+           OR LAG(effective_ts_ms) OVER (
+             PARTITION BY conv_id ORDER BY effective_ts_ms, turn_idx
+           ) IS NULL
+           THEN 1 ELSE 0 END AS is_new
+    FROM flagged WHERE is_valid
+  ) m
+) s GROUP BY conv_id, session_idx""",
+    )
+
+
 def q_redact(d: Dialect = DUCKDB) -> str:
     """PII/identifier scrub of raw transcript text (see
     :mod:`timberline_spark.redact`): sequential regexp_replace chain plus
