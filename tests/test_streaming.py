@@ -230,3 +230,54 @@ def test_stateful_streaming_dedup_equals_batch(spark):
     finally:
         shutil.rmtree(src, ignore_errors=True)
         shutil.rmtree(ckpt, ignore_errors=True)
+
+
+def test_session_window_builtin_equals_gaps_and_islands(spark):
+    """The q_conv_sessions gaps-and-islands formulation must agree with
+    Spark's built-in F.session_window on the same data: same sessions,
+    same turn counts, start == min event time, builtin end == last event
+    time + gap."""
+    from pyspark.sql import functions as F
+
+    from timberline_spark.queries import SESSION_GAP_MS, q_conv_sessions
+
+    mine = q_conv_sessions(spark, SF_TINY).toPandas()
+
+    from timberline_spark.enrich import enrich_turns
+    from timberline_spark.parse import parse_turns
+    from timberline_spark.route import classify_turns
+
+    df = (
+        classify_turns(
+            enrich_turns(spark, parse_turns(load_transcripts(spark, SF_TINY)))
+        )
+        .filter(F.col("is_valid"))
+        .select(
+            "conv_id",
+            F.timestamp_millis(F.col("effective_ts_ms")).alias("evt"),
+        )
+    )
+    builtin = (
+        df.groupBy(F.session_window("evt", "1 hour").alias("w"), "conv_id")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_turns"))
+        .select(
+            "conv_id",
+            F.unix_millis("w.start").alias("start_ms"),
+            F.unix_millis("w.end").alias("end_ms"),
+            "n_turns",
+        )
+        .toPandas()
+    )
+    assert len(mine) == len(builtin)
+    a = set(
+        map(tuple, mine[["conv_id", "session_start_ms", "n_turns"]].values)
+    )
+    b = set(map(tuple, builtin[["conv_id", "start_ms", "n_turns"]].values))
+    assert a == b
+    # builtin end = last event + gap; mine = last event
+    me = {
+        (r.conv_id, r.session_start_ms): r.session_end_ms
+        for r in mine.itertuples()
+    }
+    for r in builtin.itertuples():
+        assert me[(r.conv_id, r.start_ms)] + SESSION_GAP_MS == r.end_ms
