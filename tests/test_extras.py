@@ -865,3 +865,17 @@ def test_vocab_rank_deterministic_and_counts(spark):
     assert counts == sorted(counts, reverse=True)
     for r in rows:
         assert r.n_docs <= r.n_occurrences
+
+
+def test_spread_for_compute_is_noop_when_already_parallel(spark, tmp_path):
+    import pandas as pd
+
+    pd.DataFrame({"doc_id": range(100), "text": ["x"] * 100}).to_parquet(
+        str(tmp_path / "d.parquet")
+    )
+    narrow = spark.read.parquet(str(tmp_path / "d.parquet"))
+    spread = dd.spread_for_compute(narrow)
+    assert spread.rdd.getNumPartitions() == spark.sparkContext.defaultParallelism
+    wide = narrow.repartition(spark.sparkContext.defaultParallelism + 8)
+    # already at/above core count: returned untouched, no extra exchange
+    assert dd.spread_for_compute(wide) is wide
