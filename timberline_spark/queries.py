@@ -440,6 +440,33 @@ def q_conv_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+LATENCY_RE = "after ([0-9]+)ms"
+
+
+def q_latency_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-service latency percentiles mined from message text (the
+    reference's messages carry '... after <n>ms' durations,
+    e.g. 'Payment gateway timeout after 84ms'): count, p50/p95/p99
+    (exact linear-interpolation percentile — same definition as DuckDB's
+    quantile_cont), and max. ONE hash-agg shuffle keyed by service;
+    percentile is exact (sort within group) which is fine because the
+    group count is bounded by services x matching rows — at true scale
+    swap in approx_percentile and drop the oracle to rows-only."""
+    df = _classified(spark, sf_dir).filter(F.col("is_valid"))
+    ms = F.regexp_extract(F.col("message"), LATENCY_RE, 1)
+    lat = df.select("service", ms.alias("ms_s")).filter(
+        F.col("ms_s") != ""
+    ).select("service", F.col("ms_s").cast("double").alias("ms"))
+    pct = F.expr("percentile(ms, array(0.5D, 0.95D, 0.99D))")
+    return lat.groupBy("service").agg(
+        F.count(F.lit(1)).cast("long").alias("n_timed"),
+        F.round(pct[0], 4).alias("p50_ms"),
+        F.round(pct[1], 4).alias("p95_ms"),
+        F.round(pct[2], 4).alias("p99_ms"),
+        F.max("ms").alias("max_ms"),
+    )
+
+
 SESSION_GAP_MS = 3_600_000  # 1 hour of inactivity splits a session
 
 
@@ -534,6 +561,7 @@ PIPELINE_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "summary": q_summary,
     "conv_stats": q_conv_stats,
     "conv_sessions": q_conv_sessions,
+    "latency_profile": q_latency_profile,
     "redact": q_redact,
     "stream_window_counts": q_stream_window_counts,
     "recent_logs": q_recent_logs,

@@ -540,6 +540,32 @@ FROM (
     )
 
 
+def q_latency_profile(d: Dialect = DUCKDB) -> str:
+    """Per-service latency percentiles (see queries.q_latency_profile).
+    quantile_cont == Spark's exact percentile (linear interpolation at
+    p*(n-1)) — same definition, bit-identical after 4-dp rounding."""
+    from .queries import LATENCY_RE
+
+    pat = _re(d, LATENCY_RE)
+    if d.name == "duckdb":
+        q = "quantile_cont(ms, [0.5, 0.95, 0.99])"
+    else:
+        q = "percentile(ms, array(0.5D, 0.95D, 0.99D))"
+    return _q(
+        d,
+        f"""SELECT service, CAST(COUNT(*) AS BIGINT) AS n_timed,
+       ROUND(({q})[1], 4) AS p50_ms,
+       ROUND(({q})[2], 4) AS p95_ms,
+       ROUND(({q})[3], 4) AS p99_ms,
+       MAX(ms) AS max_ms
+FROM (
+  SELECT service,
+    CAST(regexp_extract(message, '{pat}', 1) AS DOUBLE) AS ms
+  FROM flagged WHERE is_valid AND regexp_extract(message, '{pat}', 1) <> ''
+) t GROUP BY service""",
+    )
+
+
 def q_conv_sessions(d: Dialect = DUCKDB) -> str:
     """Gap-based sessionization (see queries.q_conv_sessions).
     SESSION_GAP_MS is imported from queries to keep one source of truth."""
