@@ -281,3 +281,55 @@ def test_session_window_builtin_equals_gaps_and_islands(spark):
     }
     for r in builtin.itertuples():
         assert me[(r.conv_id, r.start_ms)] + SESSION_GAP_MS == r.end_ms
+
+
+def test_redact_composes_with_streaming_classify(spark):
+    """redact_turns is a pure projection, so it must drop into the
+    streaming micro-batch path unchanged: a streamed classify+redact
+    equals the batch classify+redact on the same files."""
+    import tempfile as _tf
+
+    from pyspark.sql import functions as F
+
+    from timberline_spark.enrich import enrich_turns
+    from timberline_spark.parse import parse_turns
+    from timberline_spark.redact import redact_text
+    from timberline_spark.route import classify_turns
+    from timberline_spark.streaming import TRANSCRIPT_SCHEMA
+
+    src = _tf.mkdtemp(prefix="tl_rd_src_")
+    ckpt = _tf.mkdtemp(prefix="tl_rd_ckpt_")
+    try:
+        load_transcripts(spark, SF_TINY).repartition(8).write.mode(
+            "overwrite"
+        ).parquet(src)
+
+        def scrubbed(df):
+            c = classify_turns(enrich_turns(spark, parse_turns(df)))
+            return c.filter(F.col("is_valid")).select(
+                "conv_id", "turn_idx", redact_text(F.col("message")).alias("msg")
+            )
+
+        stream = (
+            spark.readStream.schema(TRANSCRIPT_SCHEMA)
+            .option("maxFilesPerTrigger", 4)
+            .parquet(src)
+        )
+        q = (
+            scrubbed(stream)
+            .writeStream.format("memory")
+            .queryName("rd_stream")
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+        s = normalize(spark.sql("SELECT * FROM rd_stream").toPandas())
+        b = normalize(scrubbed(spark.read.parquet(src)).toPandas())
+        assert len(s) > 0 and s.equals(b)
+        # and it actually scrubbed
+        joined = " ".join(s["msg"].tolist())
+        assert "<USER>" in joined
+    finally:
+        shutil.rmtree(src, ignore_errors=True)
+        shutil.rmtree(ckpt, ignore_errors=True)
