@@ -449,6 +449,84 @@ FROM (
 ) ORDER BY n_occurrences DESC, token ASC LIMIT {int(top_k)}"""
 
 
+# ---- characteristic terms (tf-idf) ------------------------------------------
+
+TFIDF_TOP_TERMS = 3
+TFIDF_SCALE = 1_000_000
+
+
+def doc_tfidf_topterms(
+    spark: SparkSession, sf_dir: str, top_n: int = TFIDF_TOP_TERMS
+) -> DataFrame:
+    """Per-document characteristic terms: top ``top_n`` tokens by a
+    tf-idf-style score, ties broken by token string.
+
+    The idf factor is the RATIONAL form ``tf * SCALE // df`` (integer
+    division) rather than ``tf * ln(N/df)``: rank-equivalent for fixed N,
+    but exact integer arithmetic — the DuckDB oracle reproduces it
+    bit-identically, which a transcendental ln() cannot guarantee across
+    libm implementations.
+
+    Scale shape: explode -> per-(doc, token) count (hash-agg, map-side
+    combinable) -> equi-join with the token document-frequency table
+    (AQE broadcasts it when small; plain shuffle join when the vocabulary
+    is corpus-sized) -> per-doc rank window (partitions on high-cardinality
+    doc_id — parallel at any scale).
+    """
+    from pyspark.sql import Window
+
+    df = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    toks = df.select("doc_id", F.explode(_tokens(F.col("text"))).alias("token"))
+    tf = toks.groupBy("doc_id", "token").agg(
+        F.count(F.lit(1)).cast("long").alias("tf")
+    )
+    dfreq = toks.groupBy("token").agg(
+        F.count_distinct("doc_id").cast("long").alias("df")
+    )
+    scored = tf.join(dfreq, "token").select(
+        "doc_id",
+        "token",
+        "tf",
+        "df",
+        F.floor(F.col("tf") * TFIDF_SCALE / F.col("df")).cast("long").alias("score"),
+    )
+    w = Window.partitionBy("doc_id").orderBy(
+        F.col("score").desc(), F.col("token").asc()
+    )
+    return (
+        scored.withColumn("term_rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("term_rank") <= top_n)
+        .select("doc_id", "token", "tf", "df", "score", "term_rank")
+    )
+
+
+def oracle_tfidf_topterms(top_n: int = TFIDF_TOP_TERMS) -> str:
+    return f"""
+WITH toks AS (
+  SELECT doc_id, unnest(regexp_extract_all(lower(text), '{TOKEN_RE}')) AS token
+  FROM documents
+),
+tf AS (
+  SELECT doc_id, token, CAST(COUNT(*) AS BIGINT) AS tf
+  FROM toks GROUP BY doc_id, token
+),
+dfreq AS (
+  SELECT token, CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS df
+  FROM toks GROUP BY token
+),
+scored AS (
+  SELECT doc_id, token, tf, df,
+    CAST(FLOOR(tf * {TFIDF_SCALE} / df) AS BIGINT) AS score
+  FROM tf JOIN dfreq USING (token)
+)
+SELECT doc_id, token, tf, df, score, term_rank FROM (
+  SELECT *, CAST(ROW_NUMBER() OVER (
+    PARTITION BY doc_id ORDER BY score DESC, token ASC
+  ) AS BIGINT) AS term_rank
+  FROM scored
+) WHERE term_rank <= {int(top_n)}"""
+
+
 # ---- eval-set contamination screening ---------------------------------------
 # Before training, a corpus is screened for verbatim overlap with held-out
 # benchmark/eval text (decontamination). Probes are the eval strings; a

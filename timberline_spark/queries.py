@@ -597,6 +597,7 @@ def _extra_registries():
         "doc_repetition": tf.doc_repetition,
         "doc_pack_sequences": tf.doc_pack_sequences,
         "doc_vocab": tf.doc_vocab,
+        "doc_tfidf_topterms": tf.doc_tfidf_topterms,
         "doc_contamination": tf.doc_contamination,
         "doc_exact_dedup": dd.doc_exact_dedup,
         "doc_jaccard_pairs": lambda s, d: dd.doc_jaccard_pairs(s, d, 0.2),
@@ -627,6 +628,7 @@ def _extra_registries():
         "doc_repetition": tf.oracle_repetition(),
         "doc_pack_sequences": tf.oracle_pack_sequences(),
         "doc_vocab": tf.oracle_vocab(),
+        "doc_tfidf_topterms": tf.oracle_tfidf_topterms(),
         "doc_contamination": tf.oracle_contamination(),
         "doc_exact_dedup": dd.oracle_exact_dedup(),
         "doc_jaccard_pairs": dd.oracle_jaccard_pairs(0.2),
