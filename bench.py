@@ -118,9 +118,18 @@ def run_bench(sf_dir: str, cpus: int, replicate: int = 1) -> dict:
     ]
     if replicate == 1:  # per-query timings only in the default (driver) mode
         for name in bench_queries:
-            t0 = time.time()
-            _force(Q.PIPELINE_QUERIES[name](spark, sf_dir))
-            timings[name] = round(time.time() - t0, 3)
+            # min-of-2, same policy as e2e below: single shots on this box
+            # swing up to ~3x with page-cache/reclaim neighbor noise (r5
+            # recorded top_issues 16.18 s vs 3.92 s warm min-of-3 for the
+            # same binary). Every trial is a FULL recompute — _force builds
+            # a fresh plan from the parquet scan up; nothing is cached.
+            best = None
+            for _trial in range(2):
+                t0 = time.time()
+                _force(Q.PIPELINE_QUERIES[name](spark, sf_dir))
+                el = time.time() - t0
+                best = el if best is None else min(best, el)
+            timings[name] = round(best, 3)
 
     # e2e = min-of-2 FULL runs (fresh out_dir each; every trial recomputes
     # everything — run_pipeline holds no state between runs). This matches

@@ -671,14 +671,14 @@ def test_registered_extras_oracles(spark, duck, name):
     from timberline_spark.queries import EXTRA_ORACLES, EXTRA_QUERIES
 
     floats = {
-        "doc_quality": ("stopword_ratio", "punct_ratio", "mean_token_len"),
+        "doc_text_stats": ("stopword_ratio", "punct_ratio", "mean_token_len"),
         "doc_jaccard_pairs": ("jaccard",),
         "doc_minhash_lsh_pairs": ("jaccard",),
         "doc_cosine_neardup": ("cosine",),
         "emb_knn_brute": ("score",),
-        "emb_knn_lsh": ("score",),
-        "emb_knn_ivf": ("score",),
-        "emb_centroid_rep": ("cos_to_centroid",),
+        "emb_knn_ann": ("score",),
+        "emb_cluster": ("cos_to_centroid",),
+        "multimodal": ("value_num",),
     }
     assert_frames_equal(
         EXTRA_QUERIES[name](spark, SF_TINY),

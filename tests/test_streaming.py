@@ -333,3 +333,81 @@ def test_redact_composes_with_streaming_classify(spark):
     finally:
         shutil.rmtree(src, ignore_errors=True)
         shutil.rmtree(ckpt, ignore_errors=True)
+
+
+def test_streaming_simhash_dedup_merges_near_identical(spark):
+    """VERDICT r5 #4: the streaming twin of the reference's ingest-time
+    near-dup dedup (cosine > 0.95, milvus.go:354-409). key_mode='simhash'
+    must (a) merge near-identical, non-byte-identical messages (case /
+    punctuation variants share a token multiset, hence a simhash) into ONE
+    state key on arrival, (b) keep exact-key mode separate groups for the
+    same input, and (c) equal the batch twin dedup_examples_simhash."""
+    from pyspark.sql import functions as F
+
+    from timberline_spark import aggregate as agg
+    from timberline_spark import route
+    from timberline_spark.enrich import enrich_turns
+    from timberline_spark.parse import parse_turns
+
+    src = tempfile.mkdtemp(prefix="tl_shdedup_src_")
+    ckpt = tempfile.mkdtemp(prefix="tl_shdedup_ckpt_")
+    ckpt2 = tempfile.mkdtemp(prefix="tl_shdedup_ckpt2_")
+    try:
+        # 6 near-identical variants of one message (different bytes, same
+        # token multiset) + 2 of an unrelated message
+        variants = [
+            "Payment gateway timeout after 84ms",
+            "payment gateway timeout after 84ms",
+            "Payment gateway timeout after 84ms!",
+            "PAYMENT GATEWAY TIMEOUT AFTER 84MS",
+            "Payment  gateway timeout after 84ms",
+            "payment gateway, timeout after 84ms",
+        ]
+        rows = []
+        for i, msg in enumerate(variants + ["Disk quota exceeded on node-7"] * 2):
+            ts = f"2024-01-05 10:00:{i:02d}"
+            rows.append(
+                (f"conv-{i:09d}", i, "user", f"{ts} ERROR [svc-1] {msg}", "")
+            )
+        df = spark.createDataFrame(
+            rows,
+            "conv_id string, turn_idx int, role string, text string, tool string",
+        ).selectExpr(
+            "conv_id", "turn_idx", "role", "text", "tool",
+            "timestamp'2024-01-05 10:00:00' as ts",
+        )
+        df.orderBy("turn_idx").coalesce(1).write.mode("overwrite").parquet(src)
+
+        streamed = run_dedup_examples_available_now(
+            spark, src, ckpt, "shdedup", max_files_per_trigger=100,
+            key_mode="simhash",
+        )
+        out = streamed.toPandas()
+        by_key = out.groupby("dedup_key").size().to_dict()
+        # near-identical family: ONE key, capped at 3 examples; unrelated
+        # message: its own key with 2 examples
+        assert len(by_key) == 2, by_key
+        assert sorted(by_key.values()) == [2, 3], by_key
+
+        # exact-key mode on the same input does NOT merge the variants
+        exact = run_dedup_examples_available_now(
+            spark, src, ckpt2, "shdedup_exact", max_files_per_trigger=100,
+            key_mode="exact",
+        )
+        assert exact.select("dedup_key").distinct().count() > 2
+
+        # batch twin parity (single ts-ordered micro-batch == batch sort)
+        kept = route.kept_turns(
+            route.classify_turns(
+                enrich_turns(spark, parse_turns(spark.read.parquet(src)))
+            )
+        )
+        batch = agg.dedup_examples_simhash(kept).select(
+            F.col("simhash").cast("string").alias("dedup_key"),
+            "example_rank", "conv_id", "turn_idx", "level", "message", "ts_ms",
+        )
+        assert normalize(streamed.toPandas()).equals(normalize(batch.toPandas()))
+    finally:
+        shutil.rmtree(src, ignore_errors=True)
+        shutil.rmtree(ckpt, ignore_errors=True)
+        shutil.rmtree(ckpt2, ignore_errors=True)

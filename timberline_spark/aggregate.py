@@ -244,6 +244,53 @@ def dedup_examples(kept: DataFrame, n_examples: int = 3) -> DataFrame:
     )
 
 
+def dedup_examples_simhash(kept: DataFrame, n_examples: int = 3) -> DataFrame:
+    """First-N-examples dedup keyed by the message's 32-bit SimHash instead
+    of the exact normalized string: near-identical messages (differing in a
+    few low-weight tokens whose votes don't flip any bit sign) share one
+    group. Batch twin of the streaming simhash dedup
+    (streaming.stream_dedup_examples key_mode='simhash'); the reference
+    dedups at ingest against the growing corpus with cosine > 0.95
+    (milvus.go:354-409, config.go:45) — SimHash buckets are the
+    shuffle-keyable analog.
+
+    Scale shape: the simhash is a pure per-row projection riding the scan;
+    the window partitions on the high-cardinality 32-bit key (never a
+    global sort). Hamming-radius > 0 matching needs banded multi-probe
+    (see extras.dedup.doc_minhash_lsh_pairs for the banding pattern) — out
+    of scope for the first-3-kept retention semantics here.
+    """
+    from .extras.dedup import with_simhash
+
+    df = with_simhash(
+        kept.select(
+            "conv_id", "turn_idx", "level", "service", "message",
+            "effective_ts_ms",
+        ),
+        "message",
+        "simhash",
+    )
+    order = [F.col("effective_ts_ms"), F.col("conv_id"), F.col("turn_idx")]
+    w = Window.partitionBy("simhash").orderBy(*order)
+    wc = Window.partitionBy("simhash")
+    return (
+        df.withColumn("example_rank", F.row_number().over(w))
+        .withColumn("duplicate_count", F.count(F.lit(1)).over(wc))
+        .filter(F.col("example_rank") <= n_examples)
+        .select(
+            "simhash",
+            "example_rank",
+            "conv_id",
+            "turn_idx",
+            "level",
+            "service",
+            "message",
+            F.col("effective_ts_ms").alias("ts_ms"),
+            "duplicate_count",
+        )
+    )
+
+
 def cluster_fingerprint(message_col, level_col):
     """Template fingerprint: level + message with digit runs collapsed."""
     return F.concat_ws(

@@ -436,9 +436,13 @@ def doc_minhash_lsh_pairs(
     return _verify_pairs(cand, docs.select("doc_id", "sh", "n_sh"), threshold)
 
 
-def doc_simhash(spark: SparkSession, sf_dir: str, bits: int = 32) -> DataFrame:
-    """SimHash: per-token polynomial hash mixed to 32 bits, sign-aggregated
-    per bit — pure JVM-side higher-order functions, no UDF.
+def with_simhash(
+    df: DataFrame, text_col: str = "text", out_col: str = "simhash",
+    bits: int = 32
+) -> DataFrame:
+    """Append a SimHash column: per-token polynomial hash mixed to ``bits``
+    bits, sign-aggregated per bit — pure JVM-side higher-order functions,
+    no UDF, usable in batch AND streaming plans (pure projection).
 
     For each bit position, sum (+1 / -1) over token hashes (duplicates
     count); the sign forms the fingerprint bit.
@@ -447,10 +451,10 @@ def doc_simhash(spark: SparkSession, sf_dir: str, bits: int = 32) -> DataFrame:
     # inlining the expression instead re-runs tokenize+hash once per bit
     # (no CSE across HOF lambda boundaries) — measured 13.4 s vs 0.7 s for
     # identical output at sf0.1.
-    df = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    cols = df.columns
     base = df.select(
-        "doc_id",
-        F.transform(xh.token_hashes(F.col("text")), xh.mix32).alias("hashes"),
+        *cols,
+        F.transform(xh.token_hashes(F.col(text_col)), xh.mix32).alias("_sh_hashes"),
     )
 
     def _vote_lambda(i: int):
@@ -459,21 +463,29 @@ def doc_simhash(spark: SparkSession, sf_dir: str, bits: int = 32) -> DataFrame:
         ).otherwise(-1)
 
     voted = base.select(
-        "doc_id",
+        *cols,
         *[
-            F.aggregate(F.col("hashes"), F.lit(0).cast("long"), _vote_lambda(i)).alias(
-                f"v{i}"
-            )
+            F.aggregate(
+                F.col("_sh_hashes"), F.lit(0).cast("long"), _vote_lambda(i)
+            ).alias(f"_sh_v{i}")
             for i in range(bits)
         ],
     )
     simhash = None
     for i in range(bits):
-        term = F.when(F.col(f"v{i}") > 0, F.lit(2**i).cast("long")).otherwise(
+        term = F.when(F.col(f"_sh_v{i}") > 0, F.lit(2**i).cast("long")).otherwise(
             F.lit(0).cast("long")
         )
         simhash = term if simhash is None else simhash + term
-    return voted.select("doc_id", simhash.alias("simhash"))
+    return voted.select(*cols, simhash.alias(out_col))
+
+
+def doc_simhash(spark: SparkSession, sf_dir: str, bits: int = 32) -> DataFrame:
+    """SimHash fingerprint per document (see :func:`with_simhash`)."""
+    df = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return with_simhash(df.select("doc_id", "text"), "text", "simhash", bits).select(
+        "doc_id", "simhash"
+    )
 
 
 # ---- DuckDB oracles ---------------------------------------------------------
@@ -570,19 +582,31 @@ WITH {_sql_hashed_docs()}, mh AS (
 )""" + _SQL_VERIFY.format(threshold=threshold)
 
 
-def oracle_simhash(bits: int = 32) -> str:
+def sql_simhash_expr(hs_var: str = "hs", bits: int = 32) -> str:
+    """DuckDB expression: the simhash of a list-of-mixed-hashes column
+    ``hs_var`` — the SQL twin of :func:`with_simhash`'s vote fold."""
     terms = []
     for i in range(bits):
         terms.append(
-            f"CASE WHEN COALESCE(list_sum(list_transform(hs,"
+            f"CASE WHEN COALESCE(list_sum(list_transform({hs_var},"
             f" h -> CASE WHEN (h >> {i}) & 1 = 1 THEN 1 ELSE -1 END)), 0) > 0"
             f" THEN CAST({2**i} AS BIGINT) ELSE CAST(0 AS BIGINT) END"
         )
+    return "CAST(" + " + ".join(terms) + " AS BIGINT)"
+
+
+def sql_mixed_token_hashes(text_expr: str) -> str:
+    """DuckDB expression: list of mix32'd token hashes of ``text_expr``."""
+    return (
+        f"list_transform({xh.sql_token_hashes(text_expr)},"
+        f" h -> {xh.sql_mix32('h')})"
+    )
+
+
+def oracle_simhash(bits: int = 32) -> str:
     return f"""
 WITH h AS (
-  SELECT doc_id,
-         list_transform({xh.sql_token_hashes('text')},
-                        h -> {xh.sql_mix32('h')}) AS hs
+  SELECT doc_id, {sql_mixed_token_hashes('text')} AS hs
   FROM documents
 )
-SELECT doc_id, CAST({" + ".join(terms)} AS BIGINT) AS simhash FROM h"""
+SELECT doc_id, {sql_simhash_expr('hs', bits)} AS simhash FROM h"""

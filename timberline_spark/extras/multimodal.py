@@ -220,3 +220,45 @@ WITH p AS (
 SELECT doc_id, CAST(frame_idx AS INT) AS frame_idx,
        to_base64(from_hex(substring(hx, frame_idx * {2 * fb} + 1, {2 * fb}))) AS frame
 FROM f"""
+
+
+# ---- folded registry view ----------------------------------------------------
+
+
+def multimodal_all(df: DataFrame) -> DataFrame:
+    """Feature scalars + sampled frames in one frame, tagged by ``kind``
+    (folded registry view — the driver checks at most 50 queries/round;
+    both operators keep their full driver-checked rows here). ``idx`` is
+    feature_idx or frame_idx; values live in value_num (features, double)
+    or value_str (frames, base64) with NULLs on the other branch."""
+    feats = feature_scalars(df).select(
+        F.lit("feature").alias("kind"),
+        "doc_id",
+        "modality",
+        F.col("n_bytes").cast("long").alias("n_bytes"),
+        F.col("feature_idx").cast("int").alias("idx"),
+        F.col("value").alias("value_num"),
+        F.lit(None).cast("string").alias("value_str"),
+    )
+    frames = frame_sample(df).select(
+        F.lit("frame").alias("kind"),
+        "doc_id",
+        F.lit(None).cast("string").alias("modality"),
+        F.lit(None).cast("long").alias("n_bytes"),
+        F.col("frame_idx").cast("int").alias("idx"),
+        F.lit(None).cast("double").alias("value_num"),
+        F.base64("frame").alias("value_str"),
+    )
+    return feats.unionByName(frames)
+
+
+def oracle_multimodal() -> str:
+    return f"""
+SELECT 'feature' AS kind, doc_id, modality, CAST(n_bytes AS BIGINT) AS n_bytes,
+       feature_idx AS idx, value AS value_num, CAST(NULL AS VARCHAR) AS value_str
+FROM ({oracle_features()}) feat_q
+UNION ALL
+SELECT 'frame' AS kind, doc_id, CAST(NULL AS VARCHAR) AS modality,
+       CAST(NULL AS BIGINT) AS n_bytes, frame_idx AS idx,
+       CAST(NULL AS DOUBLE) AS value_num, frame AS value_str
+FROM ({oracle_frame_sample()}) frame_q"""

@@ -631,6 +631,71 @@ SELECT query_id, neighbor_id, rank, score FROM (
 ) t WHERE rank <= {k}"""
 
 
+# ---- folded registry views ---------------------------------------------------
+# The driver checks at most 50 registered queries per round; the ANN and
+# clustering diagnostics are folded into composed queries (discriminator
+# column + NULL-padded union) so each distinct operator keeps a
+# driver-checked row while the standalone functions stay the library API.
+
+
+def emb_knn_ann(
+    spark: SparkSession, sf_dir: str, k: int = 5, n_queries: int = 10
+) -> DataFrame:
+    """Both ANN paths (hyperplane LSH + IVF) in one frame, tagged by
+    ``method`` — same per-method rows as emb_knn_lsh / emb_knn_ivf."""
+    lsh = emb_knn_lsh(spark, sf_dir, k, n_queries).select(
+        F.lit("lsh").alias("method"), "query_id", "neighbor_id", "rank", "score"
+    )
+    ivf = emb_knn_ivf(spark, sf_dir, k, n_queries).select(
+        F.lit("ivf").alias("method"), "query_id", "neighbor_id", "rank", "score"
+    )
+    return lsh.unionByName(ivf)
+
+
+def oracle_knn_ann(k: int = 5, n_queries: int = 10) -> str:
+    return f"""
+SELECT 'lsh' AS method, query_id, neighbor_id, rank, score
+FROM ({oracle_knn_lsh(k, n_queries)}) lsh_q
+UNION ALL
+SELECT 'ivf' AS method, query_id, neighbor_id, rank, score
+FROM ({oracle_knn_ivf(k, n_queries)}) ivf_q"""
+
+
+def emb_cluster(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """k-means assignments + per-label centroid representatives in one
+    frame, tagged by ``kind`` — same rows as emb_kmeans / emb_centroid_rep."""
+    km = emb_kmeans(spark, sf_dir).select(
+        F.lit("kmeans").alias("kind"),
+        F.lit(None).cast("string").alias("label"),
+        F.col("vec_id").cast("long").alias("vec_id"),
+        F.col("cluster").cast("long").alias("cluster"),
+        F.lit(None).cast("double").alias("cos_to_centroid"),
+    )
+    rep = emb_centroid_rep(spark, sf_dir).select(
+        F.lit("centroid_rep").alias("kind"),
+        # label is int in the synthetic table; the folded view pins string
+        # so both union branches and both engines agree exactly
+        F.col("label").cast("string").alias("label"),
+        F.col("rep_vec_id").cast("long").alias("vec_id"),
+        F.lit(None).cast("long").alias("cluster"),
+        "cos_to_centroid",
+    )
+    return km.unionByName(rep)
+
+
+def oracle_cluster() -> str:
+    return f"""
+SELECT 'kmeans' AS kind, CAST(NULL AS VARCHAR) AS label,
+       CAST(vec_id AS BIGINT) AS vec_id, CAST(cluster AS BIGINT) AS cluster,
+       CAST(NULL AS DOUBLE) AS cos_to_centroid
+FROM ({oracle_kmeans()}) km_q
+UNION ALL
+SELECT 'centroid_rep' AS kind, CAST(label AS VARCHAR) AS label,
+       CAST(rep_vec_id AS BIGINT) AS vec_id,
+       CAST(NULL AS BIGINT) AS cluster, cos_to_centroid
+FROM ({oracle_centroid_rep()}) rep_q"""
+
+
 # ---- embedding surrogate (pandas UDF) ---------------------------------------
 
 

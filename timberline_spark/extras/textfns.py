@@ -13,7 +13,7 @@ Operators:
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 TOKEN_RE = "[a-z0-9]+"
@@ -117,6 +117,79 @@ def doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     return df.select("doc_id", fp.alias("fingerprint"))
 
 
+def doc_text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Folded registry view: token counts + quality + lang-ID + fingerprint
+    in ONE scan-only projection (the driver checks at most 50 registered
+    queries per round; these four per-doc operators share a row while each
+    column set stays individually hash-checked). At 100 TB this is also
+    simply the better plan — one scan computes all the signals instead of
+    four passes over the corpus."""
+    df = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    # toks staged as a named column: the mean-token-len and fingerprint
+    # HOF folds below reference it repeatedly (HOF lambdas inline, not CSE)
+    s1 = df.select(
+        "doc_id", "lang", "text", _tokens(F.col("text")).alias("toks")
+    )
+    n_tok = F.size("toks").cast("long")
+    n_stop = (
+        F.size(F.regexp_extract_all(F.lower(F.col("text")), F.lit(STOPWORD_RE), 0))
+        .cast("long")
+    )
+    n_punct = (
+        F.size(F.regexp_extract_all(F.lower(F.col("text")), F.lit(PUNCT_RE), 0))
+        .cast("long")
+    )
+    total_tok_chars = F.aggregate(
+        F.col("toks"), F.lit(0).cast("long"), lambda acc, x: acc + F.length(x)
+    )
+    fp = F.aggregate(
+        F.col("toks"),
+        F.lit(0).cast("long"),
+        lambda acc, x: (acc * FP_MULT + F.length(x) * 17 + F.ascii(x)) % FP_MOD,
+    )
+    lang_pred = F.when(
+        (n_tok > 0)
+        & (n_stop.cast("double") / n_tok.cast("double") >= LANG_STOPWORD_MIN_RATIO),
+        "en",
+    ).otherwise("unknown")
+    return s1.select(
+        "doc_id",
+        F.size(F.split(F.col("text"), " ")).cast("long").alias("n_ws_tokens"),
+        n_tok.alias("n_tokens"),
+        F.size(F.regexp_extract_all(F.col("text"), F.lit(BPE_RE), 0))
+        .cast("long")
+        .alias("n_bpe_pieces"),
+        F.length("text").cast("long").alias("n_chars_actual"),
+        n_stop.alias("n_stopwords"),
+        n_punct.alias("n_punct"),
+        F.round(n_stop / F.nullif(n_tok.cast("double"), F.lit(0.0)), 4).alias(
+            "stopword_ratio"
+        ),
+        F.round(
+            n_punct / F.nullif(F.length("text").cast("double"), F.lit(0.0)), 4
+        ).alias("punct_ratio"),
+        F.round(
+            total_tok_chars / F.nullif(n_tok.cast("double"), F.lit(0.0)), 4
+        ).alias("mean_token_len"),
+        F.col("lang").alias("lang_label"),
+        lang_pred.alias("lang_pred"),
+        fp.alias("fingerprint"),
+    )
+
+
+def oracle_text_stats() -> str:
+    """Join of the four standalone oracles on doc_id — semantics stay
+    pinned to the individually-tested generators."""
+    return f"""
+SELECT t.doc_id, t.n_ws_tokens, t.n_tokens, t.n_bpe_pieces, t.n_chars_actual,
+       q.n_stopwords, q.n_punct, q.stopword_ratio, q.punct_ratio,
+       q.mean_token_len, l.lang_label, l.lang_pred, f.fingerprint
+FROM ({oracle_token_counts()}) t
+JOIN ({oracle_quality()}) q USING (doc_id)
+JOIN ({oracle_lang_id()}) l USING (doc_id)
+JOIN ({oracle_fingerprint()}) f USING (doc_id)"""
+
+
 # curation thresholds (doc_curated): the standard pretraining-filter shape
 CURATE_MIN_TOKENS = 5
 CURATE_MAX_TOKENS = 5000
@@ -128,9 +201,14 @@ def doc_curated(spark: SparkSession, sf_dir: str) -> DataFrame:
     corpus pipeline runs before tokenization — language (stopword
     heuristic) == en, token count in bounds, punctuation ratio bounded,
     and exact-dedup keeper only (doc_id == min doc_id of its
-    normalized-text group). One scan + one combinable groupBy on the
-    normalized text; every signal is shared with the standalone operators
-    above so thresholds stay in one place."""
+    normalized-text group). One scan + ONE window shuffle keyed on
+    ``xxhash64(norm_text)`` (8 bytes/doc on the wire, not the KB-sized
+    text; the DuckDB oracle groups on the text itself — same keepers
+    absent a 64-bit collision, and the curation runner carries the
+    collision sentinel for that). Every signal is shared with the
+    standalone operators above so thresholds stay in one place."""
+    from pyspark.sql import Window
+
     df = spark.read.parquet(f"{sf_dir}/documents.parquet")
     toks = _tokens(F.col("text"))
     n_tok = F.size(toks).cast("long")
@@ -154,9 +232,9 @@ def doc_curated(spark: SparkSession, sf_dir: str) -> DataFrame:
             & (n_stop.cast("double") / n_tok.cast("double") >= LANG_STOPWORD_MIN_RATIO)
         ).alias("is_en"),
     )
-    keepers = scored.groupBy("norm_text").agg(F.min("doc_id").alias("keeper_id"))
+    wk = Window.partitionBy(F.xxhash64(F.col("norm_text")))
     return (
-        scored.join(keepers, "norm_text")
+        scored.withColumn("keeper_id", F.min("doc_id").over(wk))
         .filter(
             (F.col("doc_id") == F.col("keeper_id"))
             & F.col("is_en")
@@ -320,6 +398,11 @@ SELECT doc_id, source, hash_rank, sample_rank FROM (
 # ---- sequence packing (concat-and-chunk pretraining prep) -------------------
 
 PACK_TOKEN_BUDGET = 256
+# registered-query / oracle pin ONLY: doc_pack_sequences(shards=None) scales
+# its shard count with the session's defaultParallelism (packing
+# parallelism == shards; a constant default would hand a 1000-core cluster
+# 8-way parallelism). The driver-checked query and the DuckDB oracle pin
+# shards=PACK_SHARDS so the checked output is engine-independent.
 PACK_SHARDS = 8
 
 
@@ -327,7 +410,7 @@ def doc_pack_sequences(
     spark: SparkSession,
     sf_dir: str,
     budget: int = PACK_TOKEN_BUDGET,
-    shards: int = PACK_SHARDS,
+    shards: int | None = None,
 ) -> DataFrame:
     """Greedy contiguous sequence packing (GPT-style concat-and-chunk).
 
@@ -348,6 +431,8 @@ def doc_pack_sequences(
 
     from . import xhash as xh
 
+    if shards is None:
+        shards = spark.sparkContext.defaultParallelism
     df = spark.read.parquet(f"{sf_dir}/documents.parquet")
     shard = (xh.mix32(xh.char_hash(F.col("doc_id").cast("string"))) % shards).cast(
         "long"
@@ -621,6 +706,52 @@ GROUP BY ds.doc_id, ps.probe_id"""
 # embarrassingly parallel inside the scan stage.
 
 
+def sorted_bigrams(toks_col) -> Column:
+    """Sorted array of space-joined 2-grams (empty array below 2 tokens).
+
+    Pass the RESULT through a staged select (name it as a column) before
+    referencing it more than once — see the doc_repetition note."""
+    return (
+        F.when(
+            F.size(toks_col) >= 2,
+            F.array_sort(
+                F.transform(
+                    F.sequence(F.lit(1), F.size(toks_col) - 1),
+                    lambda i: F.concat_ws(
+                        " ",
+                        F.element_at(toks_col, i),
+                        F.element_at(toks_col, i + 1),
+                    ),
+                )
+            ),
+        )
+        .otherwise(F.array().cast("array<string>"))
+    )
+
+
+def max_equal_run(srt_col) -> Column:
+    """Longest equal-run in a SORTED array == the modal element's count,
+    as one per-row fold (no explode, no shuffle)."""
+    zero = F.lit(0).cast("long")
+    return F.aggregate(
+        srt_col,
+        F.struct(F.lit("").alias("prev"), zero.alias("run"), zero.alias("best")),
+        lambda acc, x: F.struct(
+            x.alias("prev"),
+            F.when(x == acc["prev"], acc["run"] + 1).otherwise(
+                F.lit(1).cast("long")
+            ).alias("run"),
+            F.greatest(
+                acc["best"],
+                F.when(x == acc["prev"], acc["run"] + 1).otherwise(
+                    F.lit(1).cast("long")
+                ),
+            ).alias("best"),
+        ),
+        lambda acc: acc["best"],
+    )
+
+
 def doc_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-document repetition signals.
 
@@ -642,42 +773,9 @@ def doc_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id",
         F.size("toks").cast("long").alias("n_tokens"),
         F.size(F.array_distinct("toks")).cast("long").alias("n_uniq"),
-        F.when(
-            F.size("toks") >= 2,
-            F.array_sort(
-                F.transform(
-                    F.sequence(F.lit(1), F.size("toks") - 1),
-                    lambda i: F.concat_ws(
-                        " ",
-                        F.element_at(F.col("toks"), i),
-                        F.element_at(F.col("toks"), i + 1),
-                    ),
-                )
-            ),
-        )
-        .otherwise(F.array().cast("array<string>"))
-        .alias("srt"),
+        sorted_bigrams(F.col("toks")).alias("srt"),
     )
-    zero = F.lit(0).cast("long")
-    top_cnt = F.aggregate(
-        F.col("srt"),
-        F.struct(
-            F.lit("").alias("prev"), zero.alias("run"), zero.alias("best")
-        ),
-        lambda acc, x: F.struct(
-            x.alias("prev"),
-            F.when(x == acc["prev"], acc["run"] + 1).otherwise(
-                F.lit(1).cast("long")
-            ).alias("run"),
-            F.greatest(
-                acc["best"],
-                F.when(x == acc["prev"], acc["run"] + 1).otherwise(
-                    F.lit(1).cast("long")
-                ),
-            ).alias("best"),
-        ),
-        lambda acc: acc["best"],
-    )
+    top_cnt = max_equal_run(F.col("srt"))
     s3 = s2.select(
         "doc_id",
         "n_tokens",

@@ -299,12 +299,17 @@ def run_pipeline(
     derive from the merged clustering.
 
     redact=True scrubs PII/identifier tokens (:mod:`timberline_spark.redact`)
-    from the parsed ``message`` BEFORE the stage checkpoint, so every
-    downstream surface — the category sinks, report-bucket example
-    messages, the report JSON document, the webhook payload — carries only
-    scrubbed text. This is the compliance gate for the reference's LLM
-    hand-off (ai-analyzer llm_client.py embeds raw log text in prompts);
-    cost is a per-row projection fused into the existing classify stage.
+    from the parsed ``message`` AND the ``labels`` map values BEFORE the
+    stage checkpoint, so the free-text surfaces of every downstream table —
+    the category sinks, report-bucket example messages, the report JSON
+    document, the webhook payload — carry only scrubbed text. Scope note:
+    structured key columns (``conv_id``, label KEYS, ``anomaly_reason``)
+    are NOT rewritten — anomaly_reason is a closed enum and conv_id is the
+    join/grouping identity (rewriting it would break dedup and resume);
+    treat conv_id as pseudonymous and map it outside the pipeline if the
+    hand-off requires it. This is the compliance gate for the reference's
+    LLM hand-off (ai-analyzer llm_client.py embeds raw log text in
+    prompts); cost is a per-row projection fused into the classify stage.
     """
     t0 = time.time()
     _pin_run_config(
@@ -348,7 +353,14 @@ def run_pipeline(
     if redact:
         from .redact import redact_text
 
-        classified = classified.withColumn("message", redact_text(F.col("message")))
+        classified = classified.withColumn(
+            "message", redact_text(F.col("message"))
+        ).withColumn(
+            # label VALUES are open metadata (can embed identifiers on real
+            # inputs); keys are schema-like and stay
+            "labels",
+            F.transform_values(F.col("labels"), lambda _k, v: redact_text(v)),
+        )
     classified = classified.withColumn(
         "p_date", _p_date("effective_ts_ms")
     ).withColumn("run_id", F.lit(run_id))
@@ -753,8 +765,9 @@ def main(argv=None):
     )
     ap.add_argument(
         "--redact", action="store_true",
-        help="scrub PII/identifier tokens from parsed messages before the"
-        " stage checkpoint (all sinks and reports carry scrubbed text)",
+        help="scrub PII/identifier tokens from parsed messages and label"
+        " values before the stage checkpoint (free-text surfaces of all"
+        " sinks/reports are scrubbed; conv_id stays pseudonymous)",
     )
     ap.add_argument(
         "--iceberg-table", default=None,

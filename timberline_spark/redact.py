@@ -53,10 +53,11 @@ def redact_counts(col: Column) -> list[Column]:
 
 def redact_turns(tr: DataFrame) -> DataFrame:
     counts = redact_counts(F.col("text"))
+    # total = sum of the SAME count expressions (not a rebuilt regexp_count
+    # chain): each class regex is evaluated once per row in the projection
     total = None
-    for c, (name, _p, _r) in zip(counts, REDACT_PATTERNS):
-        term = F.regexp_count(F.col("text"), F.lit(_p)).cast("long")
-        total = term if total is None else total + term
+    for c in counts:
+        total = c if total is None else total + c
     return tr.select(
         "conv_id",
         "turn_idx",

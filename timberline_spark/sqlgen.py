@@ -182,7 +182,9 @@ WITH tr AS {m}(
         OVER (PARTITION BY fingerprint) AS BIGINT) AS error_count,
       CAST(SUM(CASE WHEN is_warning THEN duplicate_count ELSE 0 END)
         OVER (PARTITION BY fingerprint) AS BIGINT) AS warning_count,
-      COUNT(DISTINCT service) OVER (PARTITION BY fingerprint) AS n_sources,
+      {"SIZE(collect_set(service) OVER (PARTITION BY fingerprint))"
+       if d.name == "spark"
+       else "COUNT(DISTINCT service) OVER (PARTITION BY fingerprint)"} AS n_sources,
       MIN(first_ts_ms) OVER (PARTITION BY fingerprint) AS cluster_first_ts_ms,
       MAX(last_ts_ms) OVER (PARTITION BY fingerprint) AS cluster_last_ts_ms
     FROM (
@@ -399,6 +401,103 @@ FROM (
     )
 
 
+def q_dedup_simhash(d: Dialect = DUCKDB, n_examples: int = 3) -> str:
+    """First-3-examples dedup keyed by the message SimHash (DuckDB only —
+    the hash arithmetic helpers emit DuckDB list syntax, like
+    q_log_search). Mirrors aggregate.dedup_examples_simhash."""
+    from .extras.dedup import sql_mixed_token_hashes, sql_simhash_expr
+
+    return _q(
+        d,
+        f""", ksh0 AS {d.mat}(
+  SELECT conv_id, turn_idx, level, service, message, effective_ts_ms,
+         {sql_mixed_token_hashes('message')} AS hs
+  FROM kept
+), ksh AS {d.mat}(
+  SELECT conv_id, turn_idx, level, service, message, effective_ts_ms,
+         {sql_simhash_expr('hs')} AS simhash
+  FROM ksh0
+)
+SELECT simhash, example_rank, conv_id, turn_idx, level, service, message,
+       ts_ms, duplicate_count
+FROM (
+  SELECT simhash,
+         ROW_NUMBER() OVER (PARTITION BY simhash
+           ORDER BY effective_ts_ms, conv_id, turn_idx) AS example_rank,
+         COUNT(*) OVER (PARTITION BY simhash) AS duplicate_count,
+         conv_id, turn_idx, level, service, message,
+         effective_ts_ms AS ts_ms
+  FROM ksh
+) x WHERE example_rank <= {n_examples}""",
+    )
+
+
+def q_route_stats(d: Dialect = DUCKDB) -> str:
+    """Folded validate + sampling diagnostics: one registered query, both
+    operator outputs intact (the driver caps its per-round check at 50
+    queries, so near-duplicate small diagnostics share a row — VERDICT r5
+    next-round #1)."""
+    vt = d.str_type
+    return _q(
+        d,
+        f"""SELECT 'validate' AS check_name,
+       COALESCE(anomaly_reason, 'valid') AS reason,
+       CAST(NULL AS BOOLEAN) AS keep_level,
+       CAST(NULL AS BOOLEAN) AS keep_sampled,
+       COUNT(*) AS n
+FROM classified GROUP BY 1, 2
+UNION ALL
+SELECT 'sampling' AS check_name, CAST(NULL AS {vt}) AS reason,
+       keep_level, keep_sampled, COUNT(*) AS n
+FROM flagged WHERE is_valid GROUP BY 1, 2, 3, 4""",
+    )
+
+
+def q_enrich_dims(d: Dialect = DUCKDB) -> str:
+    """Folded severity + tool/role broadcast-dictionary enrichment counts
+    (one registered query, both dictionary joins checked)."""
+    vt = d.str_type
+    return _q(
+        d,
+        f"""SELECT 'severity' AS dim, level, severity, severity_score,
+       is_error, is_warning,
+       CAST(NULL AS {vt}) AS tool_category,
+       CAST(NULL AS BOOLEAN) AS is_sensitive,
+       CAST(NULL AS {vt}) AS role_class, COUNT(*) AS n
+FROM enriched WHERE level IS NOT NULL GROUP BY 1, 2, 3, 4, 5, 6
+UNION ALL
+SELECT 'tool_role' AS dim, CAST(NULL AS {vt}) AS level,
+       CAST(NULL AS {vt}) AS severity,
+       CAST(NULL AS INTEGER) AS severity_score,
+       CAST(NULL AS BOOLEAN) AS is_error, CAST(NULL AS BOOLEAN) AS is_warning,
+       tool_category, is_sensitive, role_class, COUNT(*) AS n
+FROM enriched GROUP BY 1, 2, 3, 4, 5, 6, 7, 8, 9""",
+    )
+
+
+def q_report_api(d: Dialect = DUCKDB, n_recent: int = 5, n_top: int = 20) -> str:
+    """Folded recent-reports + top-20-clusters API caps (both ORDER BY ..
+    LIMIT shapes checked from one registered query)."""
+    return _q(
+        d,
+        f"""SELECT * FROM (
+  SELECT 'recent_reports' AS api, fingerprint, cluster_severity,
+         cluster_score, last_ts_ms,
+         CAST(NULL AS BIGINT) AS total_log_count,
+         CAST(NULL AS BIGINT) AS error_count
+  FROM scored ORDER BY last_ts_ms DESC, fingerprint LIMIT {n_recent}
+) a
+UNION ALL
+SELECT * FROM (
+  SELECT 'top20_clusters' AS api, fingerprint, cluster_severity,
+         cluster_score, CAST(NULL AS BIGINT) AS last_ts_ms,
+         total_log_count, error_count
+  FROM scored ORDER BY cluster_score DESC, total_log_count DESC, fingerprint
+  LIMIT {n_top}
+) b""",
+    )
+
+
 def q_level_info_default(d: Dialect = DUCKDB) -> str:
     """P8 reference semantics: an independent enrich->classify->route chain
     where a parsed-but-unknown level coalesces to INFO (log.go:66-86)."""
@@ -456,6 +555,16 @@ def q_log_search(d: Dialect = DUCKDB, query: str | None = None, limit: int | Non
 
     qw = search_query_weights(query if query is not None else SEARCH_QUERY)
     limit = limit if limit is not None else SEARCH_LIMIT
+    if not qw:
+        # tokenless query: no dims to join on — emit a typed empty relation
+        # (the Spark path returns an empty frame; 'VALUES ' would be a
+        # syntax error). Same columns/types as the populated branch.
+        return _q(
+            d,
+            """SELECT conv_id, turn_idx, level, service, message,
+       effective_ts_ms AS ts_ms, CAST(0.0 AS DOUBLE) AS score
+FROM kept WHERE FALSE""",
+        )
     qvals = ", ".join(f"({dim}, {repr(w)})" for dim, w in sorted(qw.items()))
     # the body EXTENDS the shared WITH chain: one hashed-token tf CTE feeds
     # both the score join and the norms (mirroring the Spark tf -> norm
@@ -549,14 +658,19 @@ def q_latency_profile(d: Dialect = DUCKDB) -> str:
     pat = _re(d, LATENCY_RE)
     if d.name == "duckdb":
         q = "quantile_cont(ms, [0.5, 0.95, 0.99])"
+        # DuckDB list subscripts are 1-based
+        p50, p95, p99 = f"({q})[1]", f"({q})[2]", f"({q})[3]"
     else:
+        # Spark array subscripts are 0-based; element_at is 1-based and
+        # reads the same as the DuckDB branch
         q = "percentile(ms, array(0.5D, 0.95D, 0.99D))"
+        p50, p95, p99 = (f"element_at({q}, {i})" for i in (1, 2, 3))
     return _q(
         d,
         f"""SELECT service, CAST(COUNT(*) AS BIGINT) AS n_timed,
-       ROUND(({q})[1], 4) AS p50_ms,
-       ROUND(({q})[2], 4) AS p95_ms,
-       ROUND(({q})[3], 4) AS p99_ms,
+       ROUND({p50}, 4) AS p50_ms,
+       ROUND({p95}, 4) AS p95_ms,
+       ROUND({p99}, 4) AS p99_ms,
        MAX(ms) AS max_ms
 FROM (
   SELECT service,

@@ -198,12 +198,26 @@ def _dedup_examples_fn(key, pdfs, state):
 
 
 def stream_dedup_examples(
-    spark: SparkSession, src_dir: str, max_files_per_trigger: int = 8
+    spark: SparkSession,
+    src_dir: str,
+    max_files_per_trigger: int = 8,
+    key_mode: str = "exact",
 ) -> DataFrame:
     """Streaming first-3-examples dedup. Arrival order is the stream's rank
     order (the reference's semantics); within one micro-batch, ties resolve
     by (ts_ms, conv_id, turn_idx) so a single-batch drain equals the batch
-    dedup_examples operator exactly."""
+    dedup_examples operator exactly.
+
+    key_mode='exact' keys state on the lowercased message (byte-identical
+    dedup). key_mode='simhash' keys on the message's 32-bit SimHash — the
+    streaming twin of the reference's INGEST-time near-dup dedup against
+    the growing corpus (cosine > 0.95, milvus.go:354-409, config.go:45):
+    near-identical messages whose token-vote signs agree land in one state
+    key and dedup ON ARRIVAL, not at the next batch pass. The simhash is a
+    pure projection (extras.dedup.with_simhash), so it rides the stream's
+    scan stage; state size is unchanged (one counter per key). Batch twin
+    with the same grouping: aggregate.dedup_examples_simhash (oracle-checked
+    as the registered ``dedup_simhash`` query)."""
     from pyspark.sql.streaming.state import GroupStateTimeout
 
     stream = (
@@ -212,14 +226,35 @@ def stream_dedup_examples(
         .parquet(src_dir)
     )
     classified = classify_turns(enrich_turns(spark, parse_turns(stream)))
-    kept = classified.filter(F.col("kept")).select(
-        F.lower(F.col("message")).alias("dedup_key"),
+    base = classified.filter(F.col("kept")).select(
         "conv_id",
         "turn_idx",
         "level",
         "message",
         F.col("effective_ts_ms").alias("ts_ms"),
     )
+    if key_mode == "simhash":
+        from .extras.dedup import with_simhash
+
+        kept = with_simhash(base, "message", "_simhash").select(
+            F.col("_simhash").cast("string").alias("dedup_key"),
+            "conv_id",
+            "turn_idx",
+            "level",
+            "message",
+            "ts_ms",
+        )
+    elif key_mode == "exact":
+        kept = base.select(
+            F.lower(F.col("message")).alias("dedup_key"),
+            "conv_id",
+            "turn_idx",
+            "level",
+            "message",
+            "ts_ms",
+        )
+    else:
+        raise ValueError(f"unknown key_mode: {key_mode!r}")
     return kept.groupBy("dedup_key").applyInPandasWithState(
         _dedup_examples_fn,
         _DEDUP_OUT_SCHEMA,
@@ -235,10 +270,11 @@ def run_dedup_examples_available_now(
     checkpoint_dir: str,
     query_name: str,
     max_files_per_trigger: int = 8,
+    key_mode: str = "exact",
 ) -> DataFrame:
     """Drain the stateful dedup with AvailableNow into a memory sink."""
     q = (
-        stream_dedup_examples(spark, src_dir, max_files_per_trigger)
+        stream_dedup_examples(spark, src_dir, max_files_per_trigger, key_mode)
         .writeStream.format("memory")
         .queryName(query_name)
         .outputMode("append")
