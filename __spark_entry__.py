@@ -33,10 +33,11 @@ def oracle_sql() -> dict[str, str]:
         fn = getattr(sqlgen, f"q_{oracle_name}", None)
         if fn is not None:
             out[name] = fn()
-    # every registered query has a DuckDB oracle (51/51 as of round 5,
-    # including MinHash banding, hyperplane LSH, the multimodal fake
-    # decoder, the connected-components closure, PII redaction, quota
-    # sampling, sequence packing, and repetition signals); pure-Python
-    # oracles in tests additionally pin the non-SQL constructions.
+    # every registered query has a DuckDB oracle (50/50 as of round 6: the
+    # driver checks at most 50 queries per round in dict order, so
+    # near-duplicate diagnostics are folded into composed union queries —
+    # see COVERAGE.md "Round-6 registry fold" for the name mapping);
+    # pure-Python oracles in tests additionally pin the non-SQL
+    # constructions.
     out.update(Q.EXTRA_ORACLES)
     return out

@@ -879,3 +879,49 @@ def test_spread_for_compute_is_noop_when_already_parallel(spark, tmp_path):
     wide = narrow.repartition(spark.sparkContext.defaultParallelism + 8)
     # already at/above core count: returned untouched, no extra exchange
     assert dd.spread_for_compute(wide) is wide
+
+
+# ---- token-budget corpus mixing -----------------------------------------------
+def test_token_mix_tracks_target_shares(spark):
+    """Sampled token mass per source approximates the target shares, the
+    binding source keeps everything (rate 1e6), untargeted sources drop."""
+    from timberline_spark.extras.textfns import _PPM, doc_token_mix
+
+    out = doc_token_mix(
+        spark, SF_TINY, targets={"src0": 0.5, "src1": 0.25, "src2": 0.25}
+    ).toPandas()
+    tot = out.groupby("source")["n_tokens"].sum()
+    shares = tot / tot.sum()
+    assert abs(shares["src0"] - 0.5) < 0.08
+    assert abs(shares["src1"] - 0.25) < 0.08
+    rates = out.groupby("source")["rate_ppm"].first()
+    assert (rates == _PPM).any()        # a binding source keeps all docs
+    assert set(out["source"]) <= {"src0", "src1", "src2"}  # untargeted drop
+
+    # deterministic + mergeable: same targets -> identical sample
+    again = doc_token_mix(
+        spark, SF_TINY, targets={"src0": 0.5, "src1": 0.25, "src2": 0.25}
+    ).toPandas()
+    assert sorted(out["doc_id"]) == sorted(again["doc_id"])
+
+
+def test_incremental_dedup_semantics(spark, tmp_path):
+    """New docs whose normalized text exists in the corpus are dropped;
+    fresh ones survive with min-doc_id keeper within the batch."""
+    from timberline_spark.extras.dedup import doc_incremental_dedup
+
+    rows = [
+        # corpus (even ids)
+        (0, "s", "en", "alpha beta gamma"),
+        (2, "s", "en", "delta epsilon zeta"),
+        # new batch (odd ids)
+        (1, "s", "en", "ALPHA  beta gamma "),   # normalizes to corpus doc 0
+        (3, "s", "en", "totally new content"),
+        (5, "s", "en", "Totally New Content"),  # dup of 3 within batch
+        (7, "s", "en", "another fresh doc"),
+    ]
+    spark.createDataFrame(
+        rows, "doc_id long, source string, lang string, text string"
+    ).write.mode("overwrite").parquet(f"{tmp_path}/documents.parquet")
+    got = {r.doc_id for r in doc_incremental_dedup(spark, str(tmp_path)).collect()}
+    assert got == {3, 7}

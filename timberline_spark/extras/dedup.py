@@ -491,6 +491,62 @@ def doc_simhash(spark: SparkSession, sf_dir: str, bits: int = 32) -> DataFrame:
 # ---- DuckDB oracles ---------------------------------------------------------
 
 
+def doc_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental batch dedup: NEW documents vs an EXISTING corpus
+    snapshot — the batched form of the reference's per-insert dedup check
+    against the growing collection (milvus.go:354-409). A new doc is
+    dropped when its normalized text already exists in the corpus, and
+    within the new batch only the min-doc_id keeper of each group stays.
+
+    Snapshot stand-in: even doc_id = existing corpus, odd = new batch
+    (deterministic split of the one synthetic table; production passes two
+    real tables).
+
+    Scale shape: both sides reduce to ``xxhash64(norm_text)`` — the corpus
+    side ships ONLY 8-byte keys (distinct-aggregated, map-side
+    combinable), the anti-join and the keeper window are hash equi-ops on
+    that key; no document text is ever shuffled. A 64-bit collision drops
+    a genuinely-new doc (conservative direction for dedup); the curation
+    runner's second-hash audit pattern applies if that must be ruled out.
+    """
+    df = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    norm = F.regexp_replace(F.trim(F.lower(F.col("text"))), "[ ]+", " ")
+    base = df.select("doc_id", "source", F.xxhash64(norm).alias("h"))
+    corpus_keys = base.filter(F.col("doc_id") % 2 == 0).select("h").distinct()
+    new = base.filter(F.col("doc_id") % 2 == 1)
+    from pyspark.sql import Window
+
+    wk = Window.partitionBy("h")
+    return (
+        new.join(corpus_keys, "h", "left_anti")
+        .withColumn("keeper_id", F.min("doc_id").over(wk))
+        .filter(F.col("doc_id") == F.col("keeper_id"))
+        .select("doc_id", "source")
+    )
+
+
+def oracle_incremental_dedup() -> str:
+    """Text-keyed DuckDB twin (hash-free — agreement additionally rules
+    out any Spark-side 64-bit collision at check scale)."""
+    return """
+WITH base AS (
+  SELECT doc_id, source,
+         regexp_replace(trim(lower(text)), '[ ]+', ' ', 'g') AS norm_text
+  FROM documents
+), corpus AS (
+  SELECT DISTINCT norm_text FROM base WHERE doc_id % 2 = 0
+), new_docs AS (
+  SELECT * FROM base WHERE doc_id % 2 = 1
+), fresh AS (
+  SELECT n.* FROM new_docs n ANTI JOIN corpus c USING (norm_text)
+)
+SELECT doc_id, source FROM (
+  SELECT doc_id, source,
+         MIN(doc_id) OVER (PARTITION BY norm_text) AS keeper_id
+  FROM fresh
+) t WHERE doc_id = keeper_id"""
+
+
 def oracle_exact_dedup() -> str:
     return """
 SELECT MIN(doc_id) AS keeper_doc_id, COUNT(*) AS duplicate_count

@@ -488,6 +488,120 @@ SELECT doc_id, shard, n_tokens,
 FROM c"""
 
 
+# ---- token-budget corpus mixing ----------------------------------------------
+# A pretraining mix is specified in TOKEN shares per source ("50% web, 25%
+# code, 25% books"), not document counts. Given target shares, derive
+# deterministic per-source keep-rates from the actual per-source token
+# totals so the sampled token mass approximates the target mix, then apply
+# the same per-doc-id hash decision as doc_quota_sample.
+
+TOKEN_MIX_TARGETS = {"src0": 0.5, "src1": 0.25, "src2": 0.25}
+_PPM = 1_000_000
+
+
+def doc_token_mix(
+    spark: SparkSession,
+    sf_dir: str,
+    targets: dict[str, float] | None = None,
+) -> DataFrame:
+    """Deterministic token-share corpus mixing.
+
+    The achievable sampled-corpus size is limited by the most-constrained
+    source: ``M = min_s floor(tokens_s * 1e6 / share_ppm_s)`` (the total
+    token mass, scaled by 1e6, at which source s would be fully consumed).
+    Source s then keeps ``rate_ppm_s = min(1e6, (share_ppm_s * M) DIV
+    tokens_s)`` parts-per-million of its documents, decided by
+    ``mix32(char_hash(doc_id)) % 1e6 < rate_ppm`` — the binding source
+    keeps ~everything, over-represented sources are down-sampled to the
+    target ratio. All arithmetic is integer (ppm + floor division), so
+    Spark and DuckDB compute bit-identical rates; untargeted sources get
+    rate 0. At ~100 TB ``share_ppm * M`` can exceed int64 — swap the two
+    DIV steps to DECIMAL(38,0) (Spark) / HUGEINT (DuckDB); the structure
+    is unchanged.
+
+    Scale shape: ONE combinable hash-agg to per-source token totals (rows
+    == #sources), a driver-free broadcast join of the tiny rate table back
+    onto the scan, then filter. No corpus-wide shuffle; the decision is
+    reproducible and mergeable across runs (same hash contract as
+    doc_quota_sample).
+    """
+    from . import xhash as xh
+
+    tg = TOKEN_MIX_TARGETS if targets is None else targets
+    df = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    base = df.select(
+        "doc_id",
+        "source",
+        F.size(_tokens(F.col("text"))).cast("long").alias("n_tokens"),
+    )
+    share_ppm = F.lit(0)
+    for src, s in sorted(tg.items()):
+        share_ppm = F.when(
+            F.col("source") == src, F.lit(int(round(s * _PPM)))
+        ).otherwise(share_ppm)
+    totals = (
+        base.groupBy("source")
+        .agg(F.sum("n_tokens").alias("src_tokens"))
+        .withColumn("share_ppm", share_ppm.cast("long"))
+    )
+    targeted = totals.filter(F.col("share_ppm") > 0)
+    m = targeted.select(
+        F.min(F.expr(f"src_tokens * {_PPM} DIV share_ppm")).alias("m")
+    )
+    rates = (
+        targeted.crossJoin(F.broadcast(m))
+        .select(
+            "source",
+            F.least(
+                F.lit(_PPM).cast("long"),
+                F.expr("share_ppm * m DIV src_tokens"),
+            ).alias("rate_ppm"),
+        )
+    )
+    bucket = (xh.mix32(xh.char_hash(F.col("doc_id").cast("string"))) % _PPM).cast(
+        "long"
+    )
+    return (
+        base.join(F.broadcast(rates), "source")
+        .withColumn("mix_bucket", bucket)
+        .filter(F.col("mix_bucket") < F.col("rate_ppm"))
+        .select("doc_id", "source", "n_tokens", "rate_ppm")
+    )
+
+
+def oracle_token_mix(targets: dict[str, float] | None = None) -> str:
+    from . import xhash as xh
+
+    tg = TOKEN_MIX_TARGETS if targets is None else targets
+    case = "CASE "
+    for src, s in sorted(tg.items()):
+        case += f"WHEN source = '{src}' THEN {int(round(s * _PPM))} "
+    case += "ELSE 0 END"
+    h = xh.sql_mix32(xh.sql_char_hash("CAST(doc_id AS VARCHAR)"))
+    return f"""
+WITH base AS (
+  SELECT doc_id, source,
+    CAST(len(regexp_extract_all(lower(text), '{TOKEN_RE}')) AS BIGINT) AS n_tokens
+  FROM documents
+), totals AS (
+  SELECT source, SUM(n_tokens) AS src_tokens,
+         CAST({case} AS BIGINT) AS share_ppm
+  FROM base GROUP BY source
+), targeted AS (
+  SELECT * FROM totals WHERE share_ppm > 0
+), m AS (
+  SELECT MIN(src_tokens * {_PPM} // share_ppm) AS m FROM targeted
+), rates AS (
+  SELECT source,
+         CAST(LEAST(CAST({_PPM} AS BIGINT), share_ppm * m.m // src_tokens)
+              AS BIGINT) AS rate_ppm
+  FROM targeted CROSS JOIN m
+)
+SELECT b.doc_id, b.source, b.n_tokens, r.rate_ppm
+FROM base b JOIN rates r USING (source)
+WHERE ({h}) % {_PPM} < r.rate_ppm"""
+
+
 # ---- corpus vocabulary ------------------------------------------------------
 
 VOCAB_TOP_K = 100

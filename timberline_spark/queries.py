@@ -729,6 +729,8 @@ def _extra_registries():
         "emb_knn_brute": sim.emb_knn_brute,
         "doc_text_stats": tf.doc_text_stats,
         "doc_curated": tf.doc_curated,
+        "doc_token_mix": tf.doc_token_mix,
+        "doc_incremental_dedup": dd.doc_incremental_dedup,
         "doc_quota_sample": tf.doc_quota_sample,
         "doc_quota_topn": tf.doc_quota_topn,
         "doc_repetition": tf.doc_repetition,
@@ -754,6 +756,8 @@ def _extra_registries():
         "emb_knn_brute": sim.oracle_knn_brute(),
         "doc_text_stats": tf.oracle_text_stats(),
         "doc_curated": tf.oracle_curated(),
+        "doc_token_mix": tf.oracle_token_mix(),
+        "doc_incremental_dedup": dd.oracle_incremental_dedup(),
         "doc_quota_sample": tf.oracle_quota_sample(),
         "doc_quota_topn": tf.oracle_quota_topn(),
         "doc_repetition": tf.oracle_repetition(),
