@@ -153,7 +153,11 @@ def main(argv=None):
              "--out", args.out, "--trials", str(args.trials)],
             capture_output=True, text=True, cwd=REPO,
         )
-        line = [ln for ln in p.stdout.splitlines() if ln.startswith("{")][-1]
+        json_lines = [ln for ln in p.stdout.splitlines() if ln.startswith("{")]
+        if p.returncode != 0 or not json_lines:
+            sys.stderr.write(p.stdout[-2000:] + "\n" + p.stderr[-4000:] + "\n")
+            raise RuntimeError(f"{mode} child failed rc={p.returncode}")
+        line = json_lines[-1]
         results[mode] = json.loads(line)
         print(line, file=sys.stderr)
 

@@ -821,7 +821,7 @@ def test_pack_sequences_invariants(spark):
     by_shard = {}
     for r in rows:
         assert 0 <= r.shard < 4
-        assert r.pack_id // 1_000_000 == r.shard
+        assert r.pack_id // tf.PACK_SHARD_STRIDE == r.shard
         assert 0 <= r.offset_in_pack < 100
         by_shard.setdefault(r.shard, []).append(r)
     for shard, rs in by_shard.items():
@@ -829,7 +829,7 @@ def test_pack_sequences_invariants(spark):
         cum = 0
         for r in rs:
             # doc starts at the running total; pack = where its 1st token lands
-            assert r.pack_id == shard * 1_000_000 + cum // 100
+            assert r.pack_id == shard * tf.PACK_SHARD_STRIDE + cum // 100
             assert r.offset_in_pack == cum % 100
             cum += r.n_tokens
     # deterministic across (re)runs

@@ -15,8 +15,8 @@ building block that is already driver-oracle-checked on its own:
       -> greedy sequence packing                (one shuffle by shard)
       -> curated_docs parquet + metrics JSON
 
-Scale shape: two wide shuffles total (dedup keeper groupBy, packing
-repartition+window); everything else rides the scan. Per-stage row counts
+Scale shape: two wide shuffles total (keeper window on the 8-byte norm
+hash, packing window by shard); everything else rides the scan. Per-stage row counts
 are collected from ONE count aggregate over a frame that tags each
 document with how far it survived — no per-stage count jobs (each would
 re-run the chain; the reference's per-stage Prometheus counters,
@@ -39,6 +39,7 @@ from .extras.textfns import (
     CURATE_MAX_TOKENS,
     CURATE_MIN_TOKENS,
     LANG_STOPWORD_MIN_RATIO,
+    PACK_SHARD_STRIDE,
     PACK_TOKEN_BUDGET,
     PUNCT_RE,
     QUOTA_DEFAULT_PCT,
@@ -134,7 +135,9 @@ def curate_docs(
         F.size("bigrams") > 0,
         max_equal_run(F.col("bigrams")) / F.size("bigrams").cast("double"),
     )
-    norm = F.regexp_replace(F.trim(F.lower(F.col("text"))), "[ ]+", " ")
+    from .extras.dedup import _norm_text
+
+    norm = _norm_text(F.col("text"))
     if dedup_key_mode == "hash":
         key_col = F.xxhash64(norm)
         # independent second hash over DIFFERENT bytes (concat, not
@@ -221,7 +224,7 @@ def curate_docs(
         F.when(F.col("survives"), F.col("shard")).alias("shard"),
         F.when(
             F.col("survives"),
-            F.col("shard") * 1_000_000 + F.floor(cum_before / budget),
+            F.col("shard") * PACK_SHARD_STRIDE + F.floor(cum_before / budget),
         ).alias("pack_id"),
         F.when(F.col("survives"), cum_before % budget).alias("offset_in_pack"),
     )
@@ -285,14 +288,15 @@ def run_curation(
     )
     metrics = {
         "run_id": run_id,
-        "n_input": int(obs["n_input"]),
-        "n_pass_quality": int(obs["n_quality"]),
-        "n_after_dedup": int(obs["n_deduped"]),
-        "n_curated": int(obs["n_curated"]),
-        "n_tokens_curated": int(obs["n_tokens_curated"]),
-        "n_packs": int(n_packs),
+        # `or 0`: F.sum over an empty corpus observes NULL, not 0
+        "n_input": int(obs["n_input"] or 0),
+        "n_pass_quality": int(obs["n_quality"] or 0),
+        "n_after_dedup": int(obs["n_deduped"] or 0),
+        "n_curated": int(obs["n_curated"] or 0),
+        "n_tokens_curated": int(obs["n_tokens_curated"] or 0),
+        "n_packs": int(n_packs or 0),
         "n_shards": n_shards,
-        "n_key_collisions": int(obs["n_key_collisions"]),
+        "n_key_collisions": int(obs["n_key_collisions"] or 0),
         "elapsed_sec": round(time.time() - t0, 3),
     }
     with open(f"{out_dir}/curation_{run_id}.json", "w") as f:
@@ -313,6 +317,12 @@ def main(argv=None):
         "--pack-shards", type=int, default=None,
         help="packing shard count (default: the session's defaultParallelism)",
     )
+    ap.add_argument(
+        "--dedup-key-mode", choices=("hash", "text"), default="hash",
+        help="dedup window key: xxhash64(norm_text) (default; 8-byte"
+        " shuffle key + collision audit) or the exact norm text"
+        " (collision-free baseline / escape hatch)",
+    )
     ap.add_argument("--cores", type=int, default=None)
     args = ap.parse_args(argv)
     spark = get_spark("timberline_curation", cores=args.cores)
@@ -324,6 +334,7 @@ def main(argv=None):
         default_pct=args.quota_default_pct,
         budget=args.pack_budget,
         shards=args.pack_shards,
+        dedup_key_mode=args.dedup_key_mode,
     )
     print(json.dumps(metrics))
 

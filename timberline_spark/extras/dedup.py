@@ -510,8 +510,9 @@ def doc_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     runner's second-hash audit pattern applies if that must be ruled out.
     """
     df = spark.read.parquet(f"{sf_dir}/documents.parquet")
-    norm = F.regexp_replace(F.trim(F.lower(F.col("text"))), "[ ]+", " ")
-    base = df.select("doc_id", "source", F.xxhash64(norm).alias("h"))
+    base = df.select(
+        "doc_id", "source", F.xxhash64(_norm_text(F.col("text"))).alias("h")
+    )
     corpus_keys = base.filter(F.col("doc_id") % 2 == 0).select("h").distinct()
     new = base.filter(F.col("doc_id") % 2 == 1)
     from pyspark.sql import Window

@@ -398,6 +398,11 @@ SELECT doc_id, source, hash_rank, sample_rank FROM (
 # ---- sequence packing (concat-and-chunk pretraining prep) -------------------
 
 PACK_TOKEN_BUDGET = 256
+# pack_id = shard * PACK_SHARD_STRIDE + local pack index. 2^40 local packs
+# per shard keeps ids collision-free up to budget * 2^40 tokens per shard
+# (~2.8e14 tokens at budget=256) — a 1e6 stride overflowed into the next
+# shard's id space at ~256M tokens/shard, i.e. routinely at corpus scale.
+PACK_SHARD_STRIDE = 1 << 40
 # registered-query / oracle pin ONLY: doc_pack_sequences(shards=None) scales
 # its shard count with the session's defaultParallelism (packing
 # parallelism == shards; a constant default would hand a 1000-core cluster
@@ -456,7 +461,7 @@ def doc_pack_sequences(
         "doc_id",
         "shard",
         "n_tokens",
-        (F.col("shard") * 1_000_000 + local).alias("pack_id"),
+        (F.col("shard") * PACK_SHARD_STRIDE + local).alias("pack_id"),
         (F.col("cum_before") % budget).alias("offset_in_pack"),
     )
 
@@ -483,7 +488,7 @@ c AS (
   FROM base
 )
 SELECT doc_id, shard, n_tokens,
-  shard * 1000000 + CAST(FLOOR(cum_before / {int(budget)}) AS BIGINT) AS pack_id,
+  shard * {PACK_SHARD_STRIDE} + CAST(FLOOR(cum_before / {int(budget)}) AS BIGINT) AS pack_id,
   cum_before % {int(budget)} AS offset_in_pack
 FROM c"""
 
@@ -544,7 +549,12 @@ def doc_token_mix(
         .agg(F.sum("n_tokens").alias("src_tokens"))
         .withColumn("share_ppm", share_ppm.cast("long"))
     )
-    targeted = totals.filter(F.col("share_ppm") > 0)
+    # src_tokens > 0 guard: a targeted source with only zero-token docs
+    # would otherwise drive M to 0 AND produce a NULL rate (x DIV 0) that
+    # F.least skips — inverting the mix (everything real dropped, the
+    # degenerate source kept). Zero-token sources contribute nothing to a
+    # token mix; exclude them from both the bound and the rates.
+    targeted = totals.filter((F.col("share_ppm") > 0) & (F.col("src_tokens") > 0))
     m = targeted.select(
         F.min(F.expr(f"src_tokens * {_PPM} DIV share_ppm")).alias("m")
     )
@@ -588,7 +598,7 @@ WITH base AS (
          CAST({case} AS BIGINT) AS share_ppm
   FROM base GROUP BY source
 ), targeted AS (
-  SELECT * FROM totals WHERE share_ppm > 0
+  SELECT * FROM totals WHERE share_ppm > 0 AND src_tokens > 0
 ), m AS (
   SELECT MIN(src_tokens * {_PPM} // share_ppm) AS m FROM targeted
 ), rates AS (
