@@ -50,10 +50,25 @@ def test_sink_filters_push_to_parquet_scan(spark, stage_table):
 
 
 def test_enrichment_joins_are_broadcast(spark):
-    df = enrich_turns(spark, parse_turns(load_transcripts(spark, SF_TINY)))
+    """The dynamic-dictionary path (impl='broadcast') must broadcast all
+    three dict joins — never shuffle the fact side."""
+    df = enrich_turns(
+        spark, parse_turns(load_transcripts(spark, SF_TINY)), impl="broadcast"
+    )
     plan = _plan(df, "simple")
     assert plan.count("BroadcastHashJoin") == 3
     assert "SortMergeJoin" not in plan
+
+
+def test_enrichment_default_is_join_free(spark):
+    """The default literal-map enrichment is a pure projection: no joins,
+    no exchanges of any kind — the dictionaries ride inside the row
+    expression (optimization round 7; output equality vs the broadcast
+    path is pinned in test_route.py)."""
+    df = enrich_turns(spark, parse_turns(load_transcripts(spark, SF_TINY)))
+    plan = _plan(df, "simple")
+    assert "Join" not in plan
+    assert "BroadcastExchange" not in plan
 
 
 def test_dedup_aggregates_map_side(spark, stage_table):

@@ -495,52 +495,29 @@ def top_issues(scored: DataFrame, n: int = TOP_ISSUES_N) -> DataFrame:
 
     orderBy().limit(n) plans TakeOrderedAndProject — a parallel partial
     top-k per partition, merged on the driver — instead of a global
-    no-partition window (which would sort the whole cluster table in one
-    task at 100x the cluster count; the source of the "No Partition
-    Defined" warnings in round 1). Rank over the <= n survivors is then a
-    broadcast count-of-strictly-smaller self-join (the sort keys are a
-    strict total order, so this equals row_number), which keeps the plan
-    window-free.
+    no-partition window over the full cluster table (which would sort it in
+    one task at 100x the cluster count; the source of the "No Partition
+    Defined" warnings in round 1). Rank is then a row_number window over
+    the <= n SURVIVORS only: one bounded single-partition sort of <= n
+    rows, the same ROW_NUMBER definition the oracle uses. (Round 7: this
+    replaces a broadcast count-of-strictly-smaller self-join + hash
+    aggregate — equal output, since the sort keys are a strict total
+    order, but three fewer plan stages and no broadcast build job.)
     """
     keys = [
         F.col("cluster_score").desc(),
         F.col("total_log_count").desc(),
         F.col("fingerprint"),
     ]
-    # ascending struct comparison == the desired (desc, desc, asc) order
-    sort_key = F.struct(
-        (-F.col("cluster_score")).alias("k1"),
-        (-F.col("total_log_count")).alias("k2"),
-        F.col("fingerprint").alias("k3"),
-    )
-    top = (
-        scored.filter(F.col("actionable"))
-        .orderBy(*keys)
-        .limit(n)
-        .withColumn("_key", sort_key)
-    )
-    others = top.select(F.col("_key").alias("_other_key"))
-    return (
-        top.join(F.broadcast(others), F.col("_other_key") < F.col("_key"), "left")
-        .groupBy(
-            "_key",
-            "fingerprint",
-            "cluster_severity",
-            "cluster_score",
-            "total_log_count",
-            "error_count",
-            "representative_message",
-        )
-        .agg((F.count("_other_key") + 1).cast("int").alias("rank"))
-        .select(
-            "rank",
-            "fingerprint",
-            "cluster_severity",
-            "cluster_score",
-            "total_log_count",
-            "error_count",
-            "representative_message",
-        )
+    top = scored.filter(F.col("actionable")).orderBy(*keys).limit(n)
+    return top.select(
+        F.row_number().over(Window.orderBy(*keys)).alias("rank"),
+        "fingerprint",
+        "cluster_severity",
+        "cluster_score",
+        "total_log_count",
+        "error_count",
+        "representative_message",
     )
 
 

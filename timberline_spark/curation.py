@@ -191,8 +191,13 @@ def curate_docs(
     rate = F.lit(int(default_pct))
     for src, pct in sorted(ov.items()):
         rate = F.when(F.col("source") == src, F.lit(int(pct))).otherwise(rate)
-    bucket = xh.mix32(xh.char_hash(F.col("doc_id").cast("string"))) % 100
-    tagged = tagged.withColumn("pass_quota", bucket < rate)
+    # the quota bucket (% 100) and the pack shard (% shards) share one mixed
+    # hash of doc_id: stage it as a single named column so it is evaluated
+    # once per row by construction (not left to codegen CSE)
+    tagged = tagged.withColumn(
+        "_mixed_hash", xh.mix32(xh.char_hash(F.col("doc_id").cast("string")))
+    )
+    tagged = tagged.withColumn("pass_quota", F.col("_mixed_hash") % 100 < rate)
     survives = F.col("pass_quality") & F.col("is_keeper") & F.col("pass_quota")
     tagged = tagged.withColumn("survives", survives)
 
@@ -200,10 +205,9 @@ def curate_docs(
     # UNCONDITIONAL hash shard (non-survivors sum as null -> 0, so a
     # survivor's cum_before equals the survivors-only computation exactly;
     # see doc_pack_sequences for the standalone operator)
-    shard = (xh.mix32(xh.char_hash(F.col("doc_id").cast("string"))) % shards).cast(
-        "long"
-    )
-    tagged = tagged.withColumn("shard", shard)
+    tagged = tagged.withColumn(
+        "shard", (F.col("_mixed_hash") % shards).cast("long")
+    ).drop("_mixed_hash")
     wp = (
         Window.partitionBy("shard")
         .orderBy("doc_id")

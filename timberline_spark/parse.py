@@ -149,6 +149,39 @@ def parse_turns(df: DataFrame, impl: str = "native") -> DataFrame:
     return df.withColumn("conv_key", char_hash(F.col("conv_id")))
 
 
+def _group_split(t: Column, pattern: str, groups: int) -> Column:
+    """All capture groups of an anchored pattern in ONE regex execution.
+
+    ``regexp_replace`` of a ``^...$``-anchored pattern substitutes the whole
+    string (minus an optional final line terminator, which Java's ``$``
+    leaves in place) with the SEP-delimited groups; splitting on SEP yields
+    ``["", g1, ..., gN(+terminator)]``. One matcher run replaces N
+    ``regexp_extract`` runs of the same pattern (round-7 optimization: the
+    plain grammar ran RE_PLAIN four times per matching row). Callers gate
+    this under the already-computed match condition, so a non-matching row
+    never reaches it and the sentinel character cannot be confused with
+    input text. The LAST group may contain SEP or carry the terminator;
+    use :func:`_last_group` to reassemble it exactly."""
+    repl = "".join(_GROUP_SEP + f"${i}" for i in range(1, groups + 1))
+    return F.split(F.regexp_replace(t, pattern, repl), _GROUP_SEP)
+
+
+def _last_group(parts: Column, n_lead: int) -> Column:
+    """Reassemble the final ``(.*)$`` group from a :func:`_group_split`
+    array: rejoin any SEP-containing pieces, then strip the single final
+    line terminator that ``$`` excludes from the group but
+    ``regexp_replace`` leaves after the substitution."""
+    tail = F.array_join(
+        F.slice(parts, n_lead + 2, F.size(parts)), _GROUP_SEP
+    )
+    return F.regexp_replace(tail, _TRAIL_TERM_RE, "")
+
+
+_GROUP_SEP = "\x01"
+# Java regex line terminators that '.' excludes and '$' can precede
+_TRAIL_TERM_RE = '(?:\\r\\n|[\\n\\r\\u0085\\u2028\\u2029])$'
+
+
 def _parse_native(df: DataFrame) -> DataFrame:
     t = F.col("text")
     # Materialize the parsed JSON struct ONCE as a named column and extract
@@ -159,25 +192,36 @@ def _parse_native(df: DataFrame) -> DataFrame:
     # un-inlined, so the optimized plan carries exactly 1 JsonToStructs
     # (asserted in tests/test_plans.py).
     df = df.withColumn("_j", F.when(t.startswith("{"), F.from_json(t, JSON_SCHEMA)))
+    # Each anchored grammar regex runs at most TWICE per row (one rlike match
+    # test + one group-splitting replace, gated on the match), not once per
+    # extracted group: round 6 ran RE_PLAIN four times and RE_KLOG three
+    # times on each matching row. Like `_j`, the split arrays are named
+    # non-cheap multi-referenced aliases, so CollapseProject keeps them
+    # evaluated once.
+    df = df.withColumn(
+        "_pp", F.when(t.rlike(RE_PLAIN), _group_split(t, RE_PLAIN, 4))
+    ).withColumn("_kp", F.when(t.rlike(RE_KLOG), _group_split(t, RE_KLOG, 6)))
     j = F.col("_j")
-    plain_lvl = _nullif_empty(F.regexp_extract(t, RE_PLAIN, 2))
+    pp = F.col("_pp")
+    kp = F.col("_kp")
+    plain_lvl = F.element_at(pp, 3)  # [A-Z]+: non-empty whenever matched
     json_lvl = j["level"]
     fb_lvl = F.when(
         j["log"].isNotNull(), _nullif_empty(F.regexp_extract(j["log"], RE_FB_LOG, 1))
     )
-    klog_char = _nullif_empty(F.regexp_extract(t, RE_KLOG, 1))
+    klog_char = F.element_at(kp, 2)  # [IEWF]: non-empty whenever matched
     # Grammar lanes. Direct-shape JSON is accepted whenever it carries a
     # non-empty message — the reference's direct parse requires only
     # Message != "" and defaults a missing level to INFO later
     # (stream.go:60-67, log.go:66-86) — so `level` may be absent and
     # level_raw null while grammar is still 'json'; the INFO-default path
     # in enrich_turns covers the missing level.
-    cond_plain = plain_lvl.isNotNull()
+    cond_plain = pp.isNotNull()
     cond_json = json_lvl.isNotNull() | (
         _nullif_empty(j["message"]).isNotNull() & j["log"].isNull()
     )
     cond_fb = fb_lvl.isNotNull()
-    cond_klog = klog_char.isNotNull()
+    cond_klog = kp.isNotNull()
     grammar = (
         F.when(cond_plain, "plain")
         .when(cond_json, "json")
@@ -192,25 +236,23 @@ def _parse_native(df: DataFrame) -> DataFrame:
     )
     # direct shape carries `service`, Fluent Bit shape carries `source`
     service = F.coalesce(
-        _nullif_empty(F.regexp_extract(t, RE_PLAIN, 3)),
+        F.element_at(pp, 4),  # null when unmatched; [A-Za-z0-9-]+ otherwise
         j["service"],
         j["source"],
-        _nullif_empty(F.regexp_extract(t, RE_KLOG, 4)),
+        F.element_at(kp, 5),
     )
     message = (
-        F.when(cond_plain, F.regexp_extract(t, RE_PLAIN, 4))
+        F.when(cond_plain, _last_group(pp, 3))
         .when(cond_json, j["message"])
         .when(cond_fb, F.regexp_extract(j["log"], RE_FB_LOG, 2))
-        .when(cond_klog, F.regexp_extract(t, RE_KLOG, 6))
+        .when(cond_klog, _last_group(kp, 5))
     )
     # Flexible timestamp (P5 analog): the plain grammar embeds a full
     # wall-clock date; the Fluent Bit `date` field is epoch SECONDS and is
     # multiplied by 1000 unconditionally (stream.go transformToLogEntry —
     # the <1e12 heuristic applies only to the alternate `timestamp` field,
     # see seconds_heuristic_ms). try_to_timestamp -> null on failure.
-    plain_ts = F.try_to_timestamp(
-        _nullif_empty(F.regexp_extract(t, RE_PLAIN, 1)), F.lit(TS_FMT)
-    )
+    plain_ts = F.try_to_timestamp(F.element_at(pp, 2), F.lit(TS_FMT))
     text_ts_ms = F.coalesce(
         F.unix_millis(plain_ts),
         F.when(cond_fb, (j["date"] * 1000).cast("long")),
@@ -226,7 +268,7 @@ def _parse_native(df: DataFrame) -> DataFrame:
         .withColumn("message", message)
         .withColumn("text_ts_ms", text_ts_ms)
         .withColumn("labels", labels)
-        .drop("_j")
+        .drop("_j", "_pp", "_kp")
     )
 
 
