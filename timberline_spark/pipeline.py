@@ -83,14 +83,17 @@ MIN_FILES_PER_DATE = 4
 MAX_FILES_PER_DATE = 512
 
 
-def files_for(n_rows: int, n_days: int) -> int:
+def files_for(n_rows: int, n_days: int, floor: int = MIN_FILES_PER_DATE) -> int:
     """Salted files per date partition, sized to the data: enough files
     that downstream scans of one date keep cluster-wide parallelism (a
     hardcoded 4 capped any date at 4 tasks — wrong at 320x the rows), with
     a floor so tiny runs still spread across executors and a cap so the
-    file count cannot explode (dates x files)."""
+    file count cannot explode (dates x files). Terminal sink outputs pass
+    floor=1: they feed external readers, not this pipeline's scans, so a
+    small date needs no parallelism padding (round 7: the padding tripled
+    the sinks' file count and dynamic-overwrite commit time at sf0.1)."""
     per_day = n_rows / max(1, n_days)
-    return max(MIN_FILES_PER_DATE, min(MAX_FILES_PER_DATE, -(-int(per_day) // TARGET_ROWS_PER_FILE)))
+    return max(floor, min(MAX_FILES_PER_DATE, -(-int(per_day) // TARGET_ROWS_PER_FILE)))
 
 
 def _derive_files_per_date(
@@ -503,10 +506,23 @@ def run_pipeline(
         "sink_anomalies": route.anomalies_sink,
     }
 
+    n_days = max(1, len(per_part_rows))
+
     def _write_sink(sink: str, builder) -> float:
         t_s = time.time()
         out = builder(stage_df).withColumn("run_id", F.lit(run_id)).withColumn(
             "p_date", _p_date("ts_ms")
+        )
+        # cluster by (date, hash-salt) before the partitioned write: without
+        # it every scan task writes a sliver file into every date it touches
+        # (tasks x dates files — measured 448 files for one sf0.1 sink; the
+        # dynamic-overwrite commit then pays per file). Salt count derives
+        # from the sink's actual row count (known from the stage-table
+        # aggregate above), so file sizing tracks data volume at any scale.
+        files_sink = files_for(int(flag_counts[sink]), n_days, floor=1)
+        out = out.repartition(
+            F.col("p_date"),
+            F.pmod(F.xxhash64(F.col("conv_id")), F.lit(files_sink)),
         )
         out.write.mode("overwrite").partitionBy("p_date").parquet(f"{out_dir}/{sink}")
         return time.time() - t_s
@@ -548,14 +564,24 @@ def run_pipeline(
             if fuzzy_buckets
             else agg.report_buckets(deduped_d, extra_keys=("p_date",))
         )
+        # persisted: BOTH dated writers (results + summary) read this frame;
+        # uncached, each would re-run the dated bucket aggregation over the
+        # cached dedup frame (measured: two identical agg jobs per run)
         scored_d = agg.score_clusters(dated_buckets).withColumnRenamed(
             "p_date", "analysis_date"
-        )
+        ).persist()
 
         def _write_dated_results():
-            scored_d.withColumn("run_id", F.lit(run_id)).write.mode(
-                "overwrite"
-            ).partitionBy("analysis_date").parquet(f"{out_dir}/analysis_results")
+            # one task per date before the partitioned write (same sliver-
+            # file rationale as _write_sink; measured 736 -> 30 files and
+            # 1.98 s -> 0.46 s for this write at sf0.1). The cluster table
+            # is orders of magnitude smaller than the row stream, so a
+            # date's clusters always fit one write task comfortably.
+            scored_d.repartition(F.col("analysis_date")).withColumn(
+                "run_id", F.lit(run_id)
+            ).write.mode("overwrite").partitionBy("analysis_date").parquet(
+                f"{out_dir}/analysis_results"
+            )
 
         def _write_dated_summary():
             agg.run_summary(
@@ -574,15 +600,27 @@ def run_pipeline(
             # dated frame, so nothing recomputes the wide shuffle. The
             # rollup re-hashes dedup_key, so it runs its OWN collision
             # audit (a cross-date collision here is invisible to the
-            # per-date sentinel); the count is one tiny job over the
-            # cached dated frame.
+            # per-date sentinel); the sentinel sum rides the scored-buckets
+            # write via observe() — zero extra jobs, where it used to cost
+            # a separate materialization of the whole rollup.
+            from pyspark.sql import Observation
+
+            rollup_obs = Observation("rollup_audit")
             deduped = agg.dedup_rollup(deduped_d, audit=True)
-            n_rollup_collisions = deduped.filter(F.col("key_collision")).count()
-            deduped = deduped.drop("key_collision")
+            deduped = deduped.observe(
+                rollup_obs,
+                F.coalesce(
+                    F.sum(F.col("key_collision").cast("long")), F.lit(0)
+                ).alias("n_collisions"),
+            ).drop("key_collision")
             scored = agg.score_clusters(agg.report_buckets(deduped)).persist()
-            scored.withColumn("run_id", F.lit(run_id)).write.mode(
+            # rebalance: AQE sizes the write partitions by advisory bytes
+            # (guide §6) — one file for a small cluster table instead of one
+            # sliver per aggregate task, ~64 MB files at scale
+            scored.hint("rebalance").withColumn("run_id", F.lit(run_id)).write.mode(
                 "overwrite"
             ).parquet(f"{out_dir}/report_buckets")
+            n_rollup_collisions = rollup_obs.get["n_collisions"]
             basis = scored
             if fuzzy_buckets:
                 # merged global table written NEXT TO the exact one; the
@@ -617,6 +655,7 @@ def run_pipeline(
         if fuzzy_buckets:
             basis.unpersist()
         scored.unpersist()
+        scored_d.unpersist()
         deduped_d.unpersist()
         return (
             top_rows, summary_row, n_collisions, n_rollup_collisions,
