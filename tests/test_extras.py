@@ -427,6 +427,24 @@ def test_cosine_df_cap_keeps_heavy_dup_groups(spark, tmp_path):
     assert all(r.cosine == 1.0 for r in rows if (r.doc_a, r.doc_b) in dup_pairs)
 
 
+def test_cosine_prefix_generator_equals_capped(spark, tmp_path):
+    """Round 7: the prefix-filtering candidate generator (default
+    cosine_pairs) must produce exactly the round-6 capped+rescue output on
+    a heavy-duplicate corpus plus the real tiny corpus, across thresholds.
+    (Prefix filtering is provably complete for cos >= t; the capped path is
+    the previously-pinned semantics.)"""
+    _heavy_dup_corpus(spark, tmp_path)
+    for src in (str(tmp_path), SF_TINY):
+        docs = spark.read.parquet(f"{src}/documents.parquet").select(
+            "doc_id", "text"
+        )
+        for t in (0.99, 0.9):
+            new = sim.cosine_pairs(docs, t)
+            old = sim.cosine_pairs_capped(docs, t)
+            assert new.exceptAll(old).count() == 0, (src, t)
+            assert old.exceptAll(new).count() == 0, (src, t)
+
+
 def test_jaccard_floor_pairs_near_identical_heavy_group(spark, tmp_path):
     """ADVICE round 3: the old floor ranked df=1 shingles first, so a
     NEAR-identical doc in a heavy group kept its unique-edit shingles

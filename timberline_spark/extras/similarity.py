@@ -728,30 +728,16 @@ MAX_COSINE_DIM_DF = 100
 RARE_DIMS_PER_DOC = 2
 
 
-def cosine_pairs(
-    docs: DataFrame,
-    threshold: float,
-    max_dim_df: int = MAX_COSINE_DIM_DF,
-) -> DataFrame:
-    """Sparse token-cosine near-dup pairs over ANY (doc_id, text) frame —
-    (doc_a, doc_b, cosine), doc_a < doc_b. doc_id may be any orderable type
-    (long doc ids, fingerprint strings, ...).
-
-    Each row becomes a sparse token-count vector over DOC_COSINE_DIM hashed
-    dimensions (the same bag-of-hashed-tokens construction as the dense
-    pandas-UDF surrogate, but kept sparse). Candidates come from an
-    equi-join on DF-CAPPED dimensions (a fixed hash space means every dim's
-    document frequency grows ~N/DIM with corpus size — an uncapped join is
-    O(N^2/DIM), quadratic in N): dims in more than max_dim_df docs are
-    excluded, but every doc keeps its RARE_DIMS_PER_DOC least-frequent
-    shared dims so heavy duplicate groups (all-hot dims) still pair up —
-    guaranteed for identical docs, best-effort for near-identical ones
-    (capped_index docstring has the exact contract). The cosine itself is
-    then computed EXACTLY over the full weight vectors of each surviving
-    pair, so the df cap can only affect recall, never scores.
-    """
+def _cosine_weights(docs: DataFrame) -> DataFrame:
+    """L2-normalized sparse weight table (doc_id, dim, w) over
+    DOC_COSINE_DIM hashed token dimensions — the shared front half of both
+    cosine candidate generators. Checkpointed: it is referenced several
+    times downstream (candidate index, prefix selection, both rescore
+    sides), and Spark does not share common subplans, so each reference
+    would re-run the whole tokenize+hash+aggregate chain. Tiny relative to
+    the corpus: one row per (doc, distinct hashed dim)."""
     from . import xhash as xh
-    from .dedup import capped_index, spread_for_compute
+    from .dedup import spread_for_compute
 
     exploded = spread_for_compute(docs).select(
         "doc_id",
@@ -763,9 +749,131 @@ def cosine_pairs(
     norms = tf.groupBy("doc_id").agg(
         F.sqrt(F.sum(F.col("cnt") * F.col("cnt"))).alias("nrm")
     )
-    w = tf.join(norms, "doc_id").select(
-        "doc_id", "dim", (F.col("cnt") / F.col("nrm")).alias("w")
+    return reliable_checkpoint(
+        tf.join(norms, "doc_id").select(
+            "doc_id", "dim", (F.col("cnt") / F.col("nrm")).alias("w")
+        )
     )
+
+
+# Safety margin subtracted from the threshold when sizing prefixes: the
+# rescore keeps round(cos, 4) >= t, i.e. true cosine >= t - 0.00005, and the
+# float cumulative sums carry ~1e-15 noise; 1e-3 covers both with three
+# orders of magnitude to spare at negligible extra prefix mass.
+_PREFIX_MARGIN = 1e-3
+
+
+def cosine_pairs(
+    docs: DataFrame,
+    threshold: float,
+    max_dim_df: int = MAX_COSINE_DIM_DF,
+) -> DataFrame:
+    """Sparse token-cosine near-dup pairs over ANY (doc_id, text) frame —
+    (doc_a, doc_b, cosine), doc_a < doc_b. doc_id may be any orderable type
+    (long doc ids, fingerprint strings, ...).
+
+    Each row becomes a sparse token-count vector over DOC_COSINE_DIM hashed
+    dimensions (the same bag-of-hashed-tokens construction as the dense
+    pandas-UDF surrogate, but kept sparse). Candidate generation is PREFIX
+    FILTERING (Bayardo/Ma/Srikant, "Scaling Up All Pairs Similarity
+    Search", WWW'07): order dimensions canonically (document frequency
+    descending, so a doc's RAREST dims come last), and per doc take the
+    largest common-dims-first set S with ||S|| < t; the remaining dims are
+    the doc's prefix P. For any pair with cos(a,b) >= t, a.b restricted to
+    S(a) is at most ||S(a)||*||b|| < t (Cauchy-Schwarz), so the pair MUST
+    share a dim in P(a) — the candidate equi-join is prefix(a) x all-dims(b)
+    with doc_a < doc_b, and it provably misses no qualifying pair (the
+    prefix is sized with threshold - _PREFIX_MARGIN to also cover the
+    rescore's 4-decimal rounding). At the 0.9-0.99 thresholds the operators
+    use, a prefix is the doc's ~1-6 rarest dims, so candidate volume is
+    bounded by sum over prefix entries of df(dim) — when the corpus
+    saturates the fixed dim space (sf0.1: 5000 docs, min df 250 > the old
+    100 cap) that is still millions of pairs, but in ONE pass with no
+    20M-row minhash-rescue union+distinct on top (round 6 produced 10.3M
+    capped-index + 12.5M rescue candidates), and it shrinks toward the
+    rare-dim products as DIM grows with the corpus. Completeness holds at
+    any density, where the capped generator's recall was best-effort.
+
+    The cosine itself is then computed EXACTLY over the full weight vectors
+    of each surviving pair (one map lookup join per side, no re-explosion),
+    so candidate generation affects neither scores nor — being provably
+    complete — recall. max_dim_df is retained for API compatibility; the
+    prefix generator needs no df cap. The round-6 capped+rescue generator
+    is kept as :func:`cosine_pairs_capped` (same output, pinned by
+    tests/test_extras.py) for A/B measurement.
+    """
+    from pyspark.sql import Window
+
+    w = _cosine_weights(docs)
+    dfreq = w.groupBy("dim").agg(F.count(F.lit(1)).alias("df"))
+    win = (
+        Window.partitionBy("doc_id")
+        .orderBy(F.col("df").desc(), F.col("dim").desc())
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    t_eff = max(threshold - _PREFIX_MARGIN, 0.0)
+    prefix = (
+        w.join(dfreq, "dim")
+        .withColumn("cum_w2", F.sum(F.col("w") * F.col("w")).over(win))
+        .filter(F.col("cum_w2") >= F.lit(t_eff * t_eff))
+        .select("doc_id", "dim")
+    )
+    cand = (
+        prefix.alias("a")
+        .join(
+            w.select("doc_id", "dim").alias("b"),
+            (F.col("a.dim") == F.col("b.dim"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .distinct()
+    )
+    return _cosine_rescore(cand, w, threshold)
+
+
+def _cosine_rescore(cand: DataFrame, w: DataFrame, threshold: float) -> DataFrame:
+    """Exact cosine of candidate pairs from the weight table: each doc's
+    sparse vector is collected once as a map<dim, w>, the candidate list
+    joins both maps (tiny relative to the pair list — AQE broadcasts), and
+    the dot product is a per-row JVM fold over the shorter side's entries.
+    Replaces the round-6 explode-join-regroup rescore, whose intermediate
+    was |cand| x dims-per-doc rows through a full shuffle."""
+    vecs = w.groupBy("doc_id").agg(
+        F.map_from_entries(F.collect_list(F.struct("dim", "w"))).alias("vec")
+    )
+    va = vecs.select(F.col("doc_id").alias("doc_a"), F.col("vec").alias("vec_a"))
+    vb = vecs.select(F.col("doc_id").alias("doc_b"), F.col("vec").alias("vec_b"))
+    dot = F.aggregate(
+        F.map_entries(F.col("vec_a")),
+        F.lit(0.0),
+        lambda acc, e: acc
+        + e["value"]
+        * F.coalesce(F.try_element_at(F.col("vec_b"), e["key"]), F.lit(0.0)),
+    )
+    return (
+        cand.join(va, "doc_a")
+        .join(vb, "doc_b")
+        .select("doc_a", "doc_b", F.round(dot, 4).alias("cosine"))
+        .filter(F.col("cosine") >= threshold)
+    )
+
+
+def cosine_pairs_capped(
+    docs: DataFrame,
+    threshold: float,
+    max_dim_df: int = MAX_COSINE_DIM_DF,
+) -> DataFrame:
+    """Round-6 candidate generator, kept for A/B measurement and as the
+    parity pin for :func:`cosine_pairs`: DF-CAPPED dimension equi-join
+    (dims in more than max_dim_df docs excluded, each doc keeps its
+    RARE_DIMS_PER_DOC least-frequent shared dims) plus the any-of-16
+    minhash-band rescue for all-hot docs; exact rescore after. Recall is
+    best-effort for near-identical docs in heavy groups (capped_index
+    docstring has the exact contract) where the prefix generator is
+    provably complete."""
+    from .dedup import capped_index, minhash_any_pairs, rescue_doc_ids
+
+    w = _cosine_weights(docs)
     idx = capped_index(w.select("doc_id", "dim"), "dim", max_dim_df, RARE_DIMS_PER_DOC)
     a, b = idx.alias("a"), idx.alias("b")
     cand = (
@@ -777,17 +885,9 @@ def cosine_pairs(
         .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
         .distinct()
     )
-    # Heavy-group recall rescue (round-5): docs whose every shared dim is
-    # hot (df > max_dim_df) lost all their joinable index entries to the df
-    # cap; give them a second candidate source — any-of-16 single-row
-    # minhash bands over their full dim sets. Near-identical docs share
-    # almost all dims (Jaccard ~1), so P(miss) = (1-J)^16 ~ 0; the exact
-    # cosine rescore below restores precision. Candidate volume within a
-    # heavy group equals the true-pair volume (inherently quadratic in
-    # group size — that IS the output).
-    from .dedup import minhash_any_pairs, rescue_doc_ids
-
-    hot_sets = (
+    # checkpointed: minhash_any_pairs self-joins the per-permutation minhash
+    # frame, which would otherwise re-run the rescue-gate aggregation twice
+    hot_sets = reliable_checkpoint(
         w.join(
             rescue_doc_ids(
                 w.select("doc_id", "dim"), "dim", max_dim_df, RARE_DIMS_PER_DOC
@@ -798,15 +898,7 @@ def cosine_pairs(
         .agg(F.collect_list("dim").alias("hs"))
     )
     cand = cand.unionByName(minhash_any_pairs(hot_sets)).distinct()
-    wa = w.select(F.col("doc_id").alias("doc_a"), "dim", F.col("w").alias("wa"))
-    wb = w.select(F.col("doc_id").alias("doc_b"), "dim", F.col("w").alias("wb"))
-    return (
-        cand.join(wa, "doc_a")
-        .join(wb, ["doc_b", "dim"])
-        .groupBy("doc_a", "doc_b")
-        .agg(F.round(F.sum(F.col("wa") * F.col("wb")), 4).alias("cosine"))
-        .filter(F.col("cosine") >= threshold)
-    )
+    return _cosine_rescore(cand, w, threshold)
 
 
 def doc_cosine_neardup(
@@ -879,21 +971,47 @@ def connected_components(
     """
     import warnings
 
-    # symmetric edges + self-loops (keeps isolated docs and own labels)
+    # Symmetric edges + self-loops (keeps isolated docs and own labels).
+    # Round 7: (a) the symmetric expansion is ONE pass over `pairs` via
+    # explode — the old two-branch union executed the whole upstream pair
+    # computation twice when materializing the cache; (b) edges are
+    # hash-partitioned by `dst` BEFORE the persist, so every round's
+    # propagate join reuses that partitioning and only the (changing)
+    # label table shuffles (guide §2.4: two operations keyed the same way
+    # share one exchange).
+    sym = pairs.select(
+        F.explode(
+            F.array(
+                F.struct(F.col("doc_a").alias("src"), F.col("doc_b").alias("dst")),
+                F.struct(F.col("doc_b").alias("src"), F.col("doc_a").alias("dst")),
+            )
+        ).alias("e")
+    ).select("e.src", "e.dst")
     edges = (
-        pairs.select(F.col("doc_a").alias("src"), F.col("doc_b").alias("dst"))
-        .union(pairs.select(F.col("doc_b").alias("src"), F.col("doc_a").alias("dst")))
-        .union(ids.select(F.col("doc_id").alias("src"), F.col("doc_id").alias("dst")))
+        sym.union(ids.select(F.col("doc_id").alias("src"), F.col("doc_id").alias("dst")))
+        .repartition(F.col("dst"))
         .persist()
     )
     labels = ids.select("doc_id", F.col("doc_id").alias("component")).persist()
 
     converged = False
     for i in range(max_iter):
+        # The self-loop row (src == dst) carries each node's CURRENT label
+        # through the join, so the round's aggregate also yields `prev` —
+        # the convergence test then reads the checkpointed frame instead of
+        # paying a separate two-frame equi-join per round. prop is
+        # persisted (not eagerly) because the pointer-jump step self-joins
+        # it; the one materializing action fills the cache for both sides.
         prop = (
             edges.join(labels, edges["dst"] == labels["doc_id"])
             .groupBy(F.col("src").alias("doc_id"))
-            .agg(F.min("component").alias("component"))
+            .agg(
+                F.min("component").alias("component"),
+                F.min(
+                    F.when(F.col("dst") == F.col("src"), F.col("component"))
+                ).alias("prev"),
+            )
+            .persist()
         )
         # pointer jump: a label is itself a doc_id, and prop has a row for
         # every doc (self-loops guarantee it), so label(label(x)) is an
@@ -902,25 +1020,24 @@ def connected_components(
             F.col("doc_id").alias("c_id"), F.col("component").alias("c_comp")
         )
         new_labels = prop.join(jump, prop["component"] == jump["c_id"]).select(
-            "doc_id", F.col("c_comp").alias("component")
+            "doc_id", F.col("c_comp").alias("component"), "prev"
         )
         if (i + 1) % CC_CHECKPOINT_EVERY == 0:
             # truncate lineage: without this, round k carries a 2k-join plan
             new_labels = reliable_checkpoint(new_labels)
         else:
             new_labels = new_labels.persist()
+        prop.unpersist()
         # exact convergence (ADVICE round 4 — replaces a probabilistic
-        # checksum pair): count changed labels with one equi-join on the
-        # two materialized frames; 0 changes = fixpoint (min-label is
-        # monotone, so labels change iff the assignment changed)
-        n_changed = (
-            new_labels.alias("n")
-            .join(labels.alias("o"), "doc_id")
-            .filter(F.col("n.component") != F.col("o.component"))
-            .count()
-        )
+        # checksum pair): zero changed labels = fixpoint (min-label is
+        # monotone, so labels change iff the assignment changed). `prev`
+        # was captured in the round's own aggregate, so this is a bare
+        # filter-count over the just-materialized frame.
+        n_changed = new_labels.filter(
+            F.col("component") != F.col("prev")
+        ).count()
         labels.unpersist()
-        labels = new_labels
+        labels = new_labels.drop("prev")
         if n_changed == 0:
             converged = True
             break
