@@ -555,6 +555,12 @@ def doc_token_mix(
     # degenerate source kept). Zero-token sources contribute nothing to a
     # token mix; exclude them from both the bound and the rates.
     targeted = totals.filter((F.col("share_ppm") > 0) & (F.col("src_tokens") > 0))
+    # int64 range: src_tokens * 1e6 (here) and share_ppm * m (below) both
+    # overflow once a targeted source exceeds ~9.2e12 tokens. The session
+    # runs ANSI mode (Spark 4 default; tests/test_extras.py pins it), so
+    # the overflow RAISES instead of silently wrapping into wrong
+    # keep-rates; DuckDB's BIGINT arithmetic errors likewise. Past that
+    # bound, swap this block to DECIMAL(38,0) on both engines.
     m = targeted.select(
         F.min(F.expr(f"src_tokens * {_PPM} DIV share_ppm")).alias("m")
     )

@@ -515,10 +515,11 @@ def run_pipeline(
         )
         # cluster by (date, hash-salt) before the partitioned write: without
         # it every scan task writes a sliver file into every date it touches
-        # (tasks x dates files — measured 448 files for one sf0.1 sink; the
-        # dynamic-overwrite commit then pays per file). Salt count derives
-        # from the sink's actual row count (known from the stage-table
-        # aggregate above), so file sizing tracks data volume at any scale.
+        # (tasks x dates files — measured 114-200 files per sf0.1 sink, 30
+        # after; the dynamic-overwrite commit pays per file). Salt count
+        # derives from the sink's actual row count (known from the stage-
+        # table aggregate above), so file sizing tracks data volume at any
+        # scale.
         files_sink = files_for(int(flag_counts[sink]), n_days, floor=1)
         out = out.repartition(
             F.col("p_date"),
