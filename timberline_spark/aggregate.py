@@ -323,7 +323,12 @@ def _bucket_aggs() -> list:
         F.sum(
             F.when(F.col("is_warning"), F.col("duplicate_count")).otherwise(F.lit(0))
         ).alias("warning_count"),
-        F.countDistinct("service").alias("n_sources"),
+        # size(collect_set) == countDistinct (both ignore nulls) but stays a
+        # SINGLE aggregation layer: countDistinct plans Spark's two-level
+        # distinct rewrite — an extra Exchange + aggregate pass over the
+        # deduped stream per bucket build (round 7; plan diff 2 Exchange ->
+        # 1 for report_buckets). The set is bounded by the service domain.
+        F.size(F.collect_set("service")).cast("long").alias("n_sources"),
         F.min("first_ts_ms").alias("first_ts_ms"),
         F.max("last_ts_ms").alias("last_ts_ms"),
         F.min(rep).alias("rep"),
@@ -445,7 +450,9 @@ def report_buckets_merged(
     ).withColumn("level_priority", _level_priority(F.col("level")))
     merged = df.join(comp, "fingerprint")
     g = merged.groupBy(*extra_keys, "component").agg(
-        F.countDistinct("fingerprint").alias("n_templates"), *_bucket_aggs()
+        # single-layer distinct, same rationale as n_sources in _bucket_aggs
+        F.size(F.collect_set("fingerprint")).cast("long").alias("n_templates"),
+        *_bucket_aggs(),
     )
     return g.select(
         *extra_keys,

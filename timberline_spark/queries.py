@@ -424,7 +424,9 @@ def q_conv_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(F.when(F.col("tool") != "", one).otherwise(0))
         .cast("long")
         .alias("n_tool_calls"),
-        F.count_distinct(F.when(F.col("tool") != "", F.col("tool")))
+        # single-layer distinct (see aggregate._bucket_aggs n_sources): the
+        # set is bounded by the tool dictionary
+        F.size(F.collect_set(F.when(F.col("tool") != "", F.col("tool"))))
         .cast("long")
         .alias("n_distinct_tools"),
         F.sum(F.when(F.col("is_valid") & F.col("is_error"), one).otherwise(0))
