@@ -633,10 +633,16 @@ def run_pipeline(
                 basis.withColumn("run_id", F.lit(run_id)).write.mode(
                     "overwrite"
                 ).parquet(f"{out_dir}/report_buckets_fuzzy")
+            # both collects read the persisted tiny scored frame; overlap
+            # them on the pool (two small jobs, each <= TOP_ISSUES_N rows /
+            # 1 row by construction) instead of serializing two job
+            # round-trips on this thread
             top = agg.top_issues(basis)
-            top_rows = top.collect()  # <= TOP_ISSUES_N rows by construction
             summary_df = agg.run_summary(basis)
-            summary_row = summary_df.collect()[0]
+            top_fut = dex.submit(top.collect)
+            summary_fut = dex.submit(summary_df.collect)
+            top_rows = top_fut.result()
+            summary_row = summary_fut.result()[0]
             # tiny tables from already-collected rows: driver-written, no job
             run_field = T.StructField("run_id", T.StringType())
             _write_small_table(
